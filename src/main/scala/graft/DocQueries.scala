@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.textops.{Dedup, TextStats}
+import graft.vec.Similarity
+
+/** Training-data-pipeline queries over the driver's `documents` /
+  * `embeddings` parquet tables, with DuckDB oracles where the math is
+  * engine-portable (md5, regex, double arithmetic). Hash-based operators
+  * (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) get rows-only
+  * checks here and full ScalaTest coverage instead. */
+object DocQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------ exact dedup
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      | CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY md5(text)""".stripMargin
+
+  // -------------------------------------------------------------- doc stats
+
+  def qDocStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      TextStats.tokenCountWs(t).as("n_tokens"),
+      round(TextStats.punctRatio(t), 6).as("punct_ratio"),
+      round(TextStats.digitRatio(t), 6).as("digit_ratio"))
+  }
+
+  val qDocStatsSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      | CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |   x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+      | round(CASE WHEN length(text) = 0 THEN 0
+      |   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |     / length(text) END, 6) AS punct_ratio,
+      | round(CASE WHEN length(text) = 0 THEN 0
+      |   ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |     / length(text) END, 6) AS digit_ratio
+      | FROM documents""".stripMargin
+
+  // --------------------------------------------------- n-gram Jaccard dedup
+
+  def qNgramDupes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+
+  val qNgramDupesSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   FROM documents),
+      | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+      |     FOR i IN range(1, len(t) - 1)]) END AS s FROM toks),
+      | sh AS (SELECT doc_id, unnest(s) AS sg FROM sh0),
+      | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |   FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |   GROUP BY a.doc_id, b.doc_id)
+      | SELECT ia, ib,
+      |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+      | FROM common JOIN sizes na ON ia = na.doc_id
+      | JOIN sizes nb ON ib = nb.doc_id
+      | WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
+
+  // --------------------------------------------------------------- vectors
+
+  def qEmbNorms(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir).select(col("vec_id"),
+      round(Similarity.l2Norm(col("embedding")), 6).as("l2"))
+
+  val qEmbNormsSql: String =
+    """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+      | x -> CAST(x AS DOUBLE) * x))), 6) AS l2 FROM embeddings""".stripMargin
+
+  /** Exact cosine top-3 for the first 10 vectors (rounded for float-order
+    * tolerance; rank column dropped so only the selected set + scores are
+    * compared). */
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 3)
+      .select(col("qid"), col("nid"), round(col("cos"), 5).as("cos"))
+  }
+
+  val qCosineTopKSql: String =
+    """WITH flat AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |   unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |   FROM embeddings a JOIN embeddings b
+      |   ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      | s AS (SELECT qid, nid, sum(CAST(x AS DOUBLE) * y) AS d,
+      |   sqrt(sum(CAST(x AS DOUBLE) * x)) AS nx,
+      |   sqrt(sum(CAST(y AS DOUBLE) * y)) AS ny
+      |   FROM flat GROUP BY qid, nid),
+      | r AS (SELECT qid, nid, d / (nx * ny) AS cos, row_number() OVER
+      |   (PARTITION BY qid ORDER BY d / (nx * ny) DESC, nid) AS rk FROM s)
+      | SELECT qid, nid, round(cos, 5) AS cos FROM r WHERE rk <= 3""".stripMargin
+
+  // ----------------------------------------- engine-only (rows-only check)
+
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), k = 3, numHashes = 128,
+      bands = 16, threshold = 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 8)
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextStats.langId(col("text")).as("lang_pred"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.fingerprint(col("text")).as("fingerprint"))
+
+  def qLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3, bits = 4, tables = 8)
+      .select(col("qid"), col("nid"), round(col("cos"), 5).as("cos"))
+  }
+}

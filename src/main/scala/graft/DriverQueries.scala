@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.graph.{Adjacency, EdgeOps}
+
+/** The driver's correctness-gate queries (SparkEntry.queries) and their
+  * DuckDB oracle SQL (SparkEntry.oracleSql), over the driver's TPC-H-ish
+  * parquet testdata (TESTDATA.md).
+  *
+  * The testdata has no graph tables, so two deterministic graphs are
+  * derived from key columns (SURVEY.md §5.6):
+  *   - bipartite "order graph": customer —ordered-from→ supplier
+  *     (src = o_custkey, dst = 1_000_000 + l_suppkey via orders ⋈ lineitem,
+  *     distinct) — hub-skewed, one giant component; used for PageRank / CC
+  *     / degrees / adjacency.
+  *   - "ring graph": per-nation customer ring with +1 and +2 chords
+  *     (window over c_custkey) — non-bipartite, triangle-rich; used for
+  *     triangles / LPA / canonicalization.
+  *
+  * Oracle SQL is an INDEPENDENT re-implementation in DuckDB dialect
+  * (iterative operators unrolled as CTE chains / recursive CTEs), so a bug
+  * in the engine cannot cancel out in the oracle. Column names and types
+  * are aligned on both sides (driver hashes values under sorted column
+  * names; DuckDB sum(BIGINT) is HUGEINT → always CAST). Floating-point
+  * columns are rounded on both sides (1e-6 class tolerance).
+  */
+object DriverQueries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- graphs
+
+  /** Bipartite order graph, distinct edges. */
+  def orderGraph(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders").join(t(dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+  }
+
+  private val orderGraphSql =
+    """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      | CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  /** Per-nation customer ring with +1/+2 chords, canonical (src < dst). */
+  def ringGraph(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val r = t(dir, "customer").select(
+      col("c_custkey").cast("long").as("k"), col("c_nationkey").as("n"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy("c_nationkey")).as("cnt"))
+    val r1 = r.select(col("k").as("k1"), col("n").as("n1"), col("rn").as("rn1"), col("cnt").as("cnt1"))
+    val hop1 = r1.join(r, col("n") === col("n1") && col("rn") === pmod(col("rn1"), col("cnt1")) + 1)
+      .select(col("k1").as("a"), col("k").as("b"))
+    val hop2 = r1.join(r, col("n") === col("n1") && col("rn") === pmod(col("rn1") + 1, col("cnt1")) + 1)
+      .select(col("k1").as("a"), col("k").as("b"))
+    hop1.union(hop2).filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+  }
+
+  private val ringGraphSql =
+    """WITH rr AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey AS n,
+      |   row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+      |   count(*) OVER (PARTITION BY c_nationkey) AS cnt FROM customer),
+      | hops AS (
+      |   SELECT r1.k AS a, r2.k AS b FROM rr r1 JOIN rr r2
+      |     ON r1.n = r2.n AND r2.rn = (r1.rn % r1.cnt) + 1
+      |   UNION ALL
+      |   SELECT r1.k, r2.k FROM rr r1 JOIN rr r2
+      |     ON r1.n = r2.n AND r2.rn = ((r1.rn + 1) % r1.cnt) + 1)
+      | SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+      | FROM hops WHERE a <> b""".stripMargin
+
+  // ------------------------------------------------------------- graph ops
+
+  def qEdges(spark: SparkSession, dir: String): DataFrame =
+    orderGraph(spark, dir)
+
+  val qEdgesSql: String = orderGraphSql
+
+  def qRingEdges(spark: SparkSession, dir: String): DataFrame =
+    ringGraph(spark, dir)
+
+  val qRingEdgesSql: String = ringGraphSql
+
+  def qOutDegrees(spark: SparkSession, dir: String): DataFrame =
+    EdgeOps.outDegrees(orderGraph(spark, dir))
+
+  val qOutDegreesSql: String =
+    s"""WITH edges AS ($orderGraphSql)
+       | SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+       | FROM edges GROUP BY src""".stripMargin
+
+  def qDegrees(spark: SparkSession, dir: String): DataFrame =
+    EdgeOps.degrees(orderGraph(spark, dir))
+
+  val qDegreesSql: String =
+    s"""WITH edges AS ($orderGraphSql),
+       | ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+       | SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id""".stripMargin
+
+  /** CSR adjacency blocks, dst arrays rendered as comma-joined strings for
+    * engine-portable comparison. */
+  def qAdjacency(spark: SparkSession, dir: String): DataFrame =
+    Adjacency.fromEdges(orderGraph(spark, dir))
+      .select(col("src"), col("degree").cast("long").as("degree"),
+        array_join(col("dsts"), ",").as("dsts"))
+
+  val qAdjacencySql: String =
+    s"""WITH edges AS ($orderGraphSql)
+       | SELECT src, CAST(count(*) AS BIGINT) AS degree,
+       |  string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS dsts
+       | FROM edges GROUP BY src""".stripMargin
+
+  // -------------------------------------------------------------- pagerank
+
+  val PrIters = 10
+
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.run(orderGraph(spark, dir), PageRank.Config(numIter = PrIters))
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+
+  /** Power iteration unrolled as a CTE chain — independent oracle. */
+  def qPageRankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s""" r$i AS (SELECT v.id,
+         |  CAST(0.15 AS DOUBLE) + 0.85 * coalesce(s.m, 0) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank / d.n) AS m
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |    JOIN deg d ON e.src = d.src GROUP BY e.dst) s
+         |  ON v.id = s.id)""".stripMargin
+    }.mkString(",")
+    s"""WITH edges AS ($orderGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | deg AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
+       | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),$iters
+       | SELECT id, round(rank * (SELECT count(*) FROM verts)
+       |   / (SELECT sum(rank) FROM r$PrIters), 6) AS rank FROM r$PrIters""".stripMargin
+  }
+
+  // ------------------------------------------------------------ components
+
+  def qConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(orderGraph(spark, dir))
+
+  /** Min-reachable-id via recursive transitive closure — independent oracle
+    * (exact same labels as small-star/large-star at convergence). */
+  val qConnectedComponentsSql: String =
+    s"""WITH RECURSIVE edges AS ($orderGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       | reach(id, lbl) AS (
+       |   SELECT id, id FROM verts
+       |   UNION
+       |   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
+       | SELECT id, CAST(min(lbl) AS BIGINT) AS component
+       | FROM reach GROUP BY id""".stripMargin
+
+  // ------------------------------------------------------------- triangles
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount.run(ringGraph(spark, dir))
+
+  val qTrianglesSql: String =
+    s"""WITH ce AS ($ringGraphSql),
+       | verts AS (SELECT src AS id FROM ce UNION SELECT dst FROM ce),
+       | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+       |   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       | corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       |   UNION ALL SELECT c FROM tri)
+       | SELECT v.id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS triangles
+       | FROM verts v LEFT JOIN
+       |  (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t
+       | ON v.id = t.id""".stripMargin
+
+  def qTrianglesTotal(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    Seq(TriangleCount.total(ringGraph(spark, dir))).toDF("total")
+  }
+
+  val qTrianglesTotalSql: String =
+    s"""WITH ce AS ($ringGraphSql)
+       | SELECT CAST(count(*) AS BIGINT) AS total
+       | FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+       | JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
+
+  // ------------------------------------------------------------------- lpa
+
+  val LpaSteps = 2
+
+  def qLabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    LabelPropagation.run(ringGraph(spark, dir),
+      LabelPropagation.Config(maxSteps = LpaSteps))
+
+  /** Synchronous LPA unrolled `LpaSteps` supersteps; argmax count with
+    * smallest-label tie-break via row_number window. */
+  def qLabelPropagationSql: String = {
+    val steps = (1 to LpaSteps).map { i =>
+      s""" m$i AS (SELECT e.dst AS vid, l.label FROM edges e JOIN l${i - 1} l ON e.src = l.id
+         |   UNION ALL
+         |   SELECT e.src, l.label FROM edges e JOIN l${i - 1} l ON e.dst = l.id),
+         | c$i AS (SELECT vid, label, count(*) AS cnt FROM m$i GROUP BY vid, label),
+         | p$i AS (SELECT vid, label, row_number() OVER
+         |    (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rk FROM c$i),
+         | l$i AS (SELECT v.id, coalesce(p.label, v.label) AS label
+         |   FROM l${i - 1} v LEFT JOIN (SELECT vid, label FROM p$i WHERE rk = 1) p
+         |   ON v.id = p.vid)""".stripMargin
+    }.mkString(",")
+    s"""WITH edges AS ($ringGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | l0 AS (SELECT id, id AS label FROM verts),$steps
+       | SELECT id, CAST(label AS BIGINT) AS label FROM l$LpaSteps""".stripMargin
+  }
+}

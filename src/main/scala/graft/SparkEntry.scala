@@ -1,13 +1,59 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one implemented operator (SURVEY.md §2) run over
+  * the driver's parquet testdata; `oracleSql` holds an INDEPENDENT DuckDB
+  * re-implementation for the driver's correctness gate. Hash-based
+  * operators without a DuckDB twin (xxhash64) ship without oracle →
+  * rows-only check + ScalaTest coverage. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: PageRank over the order graph derived from sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DriverQueries.qPageRank(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // link-graph engine (SURVEY.md §2)
+    "q_edges" -> (DriverQueries.qEdges _),
+    "q_ring_edges" -> (DriverQueries.qRingEdges _),
+    "q_out_degrees" -> (DriverQueries.qOutDegrees _),
+    "q_degrees" -> (DriverQueries.qDegrees _),
+    "q_adjacency" -> (DriverQueries.qAdjacency _),
+    "q_pagerank" -> (DriverQueries.qPageRank _),
+    "q_connected_components" -> (DriverQueries.qConnectedComponents _),
+    "q_triangles" -> (DriverQueries.qTriangles _),
+    "q_triangles_total" -> (DriverQueries.qTrianglesTotal _),
+    "q_label_propagation" -> (DriverQueries.qLabelPropagation _),
+    // training-data pipeline ops
+    "q_dedup_exact" -> (DocQueries.qDedupExact _),
+    "q_doc_stats" -> (DocQueries.qDocStats _),
+    "q_ngram_dupes" -> (DocQueries.qNgramDupes _),
+    "q_emb_norms" -> (DocQueries.qEmbNorms _),
+    "q_cosine_topk" -> (DocQueries.qCosineTopK _),
+    // engine-only (no SQL-expressible oracle: xxhash64-based)
+    "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
+    "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
+    "q_text_analysis" -> (DocQueries.qLangId _),
+    "q_lsh_topk" -> (DocQueries.qLshTopK _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_edges" -> DriverQueries.qEdgesSql,
+    "q_ring_edges" -> DriverQueries.qRingEdgesSql,
+    "q_out_degrees" -> DriverQueries.qOutDegreesSql,
+    "q_degrees" -> DriverQueries.qDegreesSql,
+    "q_adjacency" -> DriverQueries.qAdjacencySql,
+    "q_pagerank" -> DriverQueries.qPageRankSql,
+    "q_connected_components" -> DriverQueries.qConnectedComponentsSql,
+    "q_triangles" -> DriverQueries.qTrianglesSql,
+    "q_triangles_total" -> DriverQueries.qTrianglesTotalSql,
+    "q_label_propagation" -> DriverQueries.qLabelPropagationSql,
+    "q_dedup_exact" -> DocQueries.qDedupExactSql,
+    "q_doc_stats" -> DocQueries.qDocStatsSql,
+    "q_ngram_dupes" -> DocQueries.qNgramDupesSql,
+    "q_emb_norms" -> DocQueries.qEmbNormsSql,
+    "q_cosine_topk" -> DocQueries.qCosineTopKSql
+  )
 }

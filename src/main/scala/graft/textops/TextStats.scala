@@ -1,0 +1,103 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All pure builtin-expression pipelines (codegen'd, no UDFs) — per-row,
+  * embarrassingly parallel, no shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokensWs(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish tokens: word pieces + individual punctuation marks. */
+  def tokensRe(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCountWs(text: Column): Column = size(tokensWs(text)).cast("long")
+  def tokenCountRe(text: Column): Column = size(tokensRe(text)).cast("long")
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  private val enStop = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for")
+  private val deStop = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den")
+  private val frStop = Seq("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour")
+  private val esStop = Seq("el", "la", "los", "de", "y", "es", "un", "una", "que", "por")
+  private val itStop = Seq("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono")
+
+  private def stopHits(tokens: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    size(filter(tokens, t => array_contains(arr, lower(t)))).cast("double")
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokensWs(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopHits(toks, enStop) / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + low punct/digit noise
+    * + stopword presence (the classic Gopher/C4-style cheap filters). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCountWs(text)
+    val lengthOk = when(n.between(5, 100000), 1.0).otherwise(0.0)
+    val punctOk = lit(1.0) - least(lit(1.0), punctRatio(text) * 4)
+    val digitOk = lit(1.0) - least(lit(1.0), digitRatio(text) * 4)
+    val stopOk = least(lit(1.0), stopwordRatio(text) * 5)
+    round((lengthOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + stopOk * 0.2), 6)
+  }
+
+  /** Language ID by stopword-hit voting over {en,de,fr,es,it}; "und"
+    * (undetermined) when nothing scores. Deterministic tie-break by
+    * language order. */
+  def langId(text: Column): Column = {
+    val toks = tokensWs(text)
+    val scores = map(
+      lit("en"), stopHits(toks, enStop), lit("de"), stopHits(toks, deStop),
+      lit("fr"), stopHits(toks, frStop), lit("es"), stopHits(toks, esStop),
+      lit("it"), stopHits(toks, itStop))
+    val entries = map_entries(scores) // array<struct<key,value>>
+    val best = aggregate(entries,
+      struct(lit("und").as("key"), lit(0.0).as("value")),
+      (acc, e) => when(e.getField("value") > acc.getField("value"), e).otherwise(acc))
+    best.getField("key")
+  }
+
+  /** 64-bit-ish rolling polynomial fingerprint over whitespace tokens,
+    * computed mod a 31-bit prime to stay overflow-safe under ANSI mode.
+    * Order-sensitive (a reordered document fingerprints differently). */
+  def fingerprint(text: Column): Column = {
+    val p = 2147483629L // prime < 2^31
+    aggregate(tokensWs(text), lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+
+  /** One-stop per-document stats frame. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      length(t).cast("long").as("n_chars"),
+      tokenCountWs(t).as("n_tokens_ws"),
+      tokenCountRe(t).as("n_tokens_re"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(digitRatio(t), 6).as("digit_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

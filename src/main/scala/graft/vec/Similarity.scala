@@ -1,0 +1,83 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *   Queries are broadcast (they are the small side by construction), the
+  *   corpus streams through one codegen'd stage — no shuffle of the corpus,
+  *   top-k via per-query window. At 100 TB this is the pattern for "k-NN of
+  *   a handful of probes"; for all-pairs use the LSH path.
+  * - `lshTopK`: random-hyperplane LSH — sign-bit bucket join, exact cosine
+  *   re-rank within buckets. Multiple tables (probes) trade recall for
+  *   compute. This is the scale path: candidate generation is a bucket
+  *   equi-join, never a cross join.
+  *
+  * All math in double precision via zip_with + aggregate builtins
+  * (codegen'd; no UDF).
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k by cosine for every query vector. Output:
+    * (query_id, neighbor_id, cos, rank 1..k). Ties broken by neighbor id
+    * for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 random hyperplane component for (table, plane, dim). */
+  private def planeSign(table: Int, p: Column, d: Column): Column =
+    when(pmod(xxhash64(lit(table), p, d), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit bucket of a vector under `bits` hyperplanes of `table`. */
+  def lshBucket(v: Column, bits: Int, table: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x.cast("double") * planeSign(table, p, d)),
+        lit(0.0), (a2, x) => a2 + x)
+      val bit = when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      acc.bitwiseOR(call_function("shiftleft", bit, p.cast("int")))
+    })
+
+  /** Approximate top-k: candidates share an LSH bucket in ≥1 of `tables`
+    * tables; exact cosine re-rank. Recall grows with tables, cost with
+    * bucket size (≈ n / 2^bits per table). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
+      tables: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vecCol), bits, t)): _*)))
+        .select(col(id), col(vec), col("pos").as("table"), col("col").as("bucket"))
+    val c = bucketed(corpus, "nid", "nv")
+    val q = bucketed(queries, "qid", "qv")
+    val cand = q.join(c, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .distinct()
+    val scored = cand.select(col("qid"), col("nid"),
+      cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

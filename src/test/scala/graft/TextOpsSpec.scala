@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops.{Dedup, TextStats}
+import graft.vec.Similarity
+
+/** Training-pipeline operators over the driver's documents/embeddings. */
+class TextOpsSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup groups partition the corpus") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.agg(sum("n_docs")).first().getLong(0) == docs.count())
+    // drops + keepers = all docs
+    val drops = Dedup.exactDrops(docs).count()
+    assert(g.count() + drops == docs.count())
+  }
+
+  test("minhash-LSH pairs ⊆ exact ngram pairs, recall ≥ 0.95 at j=0.5") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+    val mh = pairs(Dedup.minhashLshPairs(docs, k = 3, numHashes = 128,
+      bands = 16, threshold = 0.5))
+    assert(mh.subsetOf(exact), "minhash returned a pair below threshold")
+    assert(exact.isEmpty || mh.size.toDouble / exact.size >= 0.95,
+      s"recall ${mh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs distance 0; near-dup pairs found") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer plans"))
+      .toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("token counting and ratios are consistent") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello, world! 42 times."), (2L, "")).toDF("doc_id", "text")
+    val r = TextStats.analyze(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(1L).getAs[Long]("n_tokens_ws") == 4L)
+    assert(r(1L).getAs[Long]("n_tokens_re") == 7L) // Hello , world ! 42 times .
+    assert(r(2L).getAs[Long]("n_chars") == 0L)
+    assert(r(2L).getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("langId votes stopwords correctly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat and it is that for a reason"),
+      (2L, "der hund und die katze ist nicht ein problem zu haben"),
+      (3L, "le chat et la maison est une grande chose pour les gens"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val f = d.select(col("doc_id"), TextStats.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(3L) && f(1L) != f(2L))
+  }
+
+  test("brute-force cosine top-k: self-similar clusters rank first") {
+    val exact = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5), 3)
+    assert(exact.count() == 15)
+    // cos in [-1, 1]
+    val bad = exact.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count()
+    assert(bad == 0)
+  }
+
+  test("LSH top-k recall vs exact ≥ 0.5 at bits=4 tables=8") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = embs.filter(col("vec_id") < 20)
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, 3))
+    val approx = pairs(Similarity.lshTopK(embs, q, 3, bits = 4, tables = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall")
+  }
+}
