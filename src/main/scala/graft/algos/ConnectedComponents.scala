@@ -81,16 +81,21 @@ object ConnectedComponents {
   }
 
   /** For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
-    * Output edges all satisfy src > dst. Neighborhoods are symmetric. */
+    * Output edges all satisfy src > dst. Neighborhoods are symmetric.
+    * The |V|-sized min-neighbor table joins the |E|-sized symmetric edge
+    * stream hash-to-hash (never sorting the edges); AQE upgrades to
+    * broadcast when it fits. */
   private[algos] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
     val m = sym.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
       .select(col("src").as("u"), col("m"))
-    sym.join(m, sym("src") === col("u"))
+    sym.join(m.hint("SHUFFLE_HASH"), sym("src") === col("u"))
       .filter(col("dst") > col("u"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
+    // no distinct here: output is bounded by |sym| = 2|E|, min-aggregation
+    // in the following smallStar is duplicate-insensitive, and smallStar's
+    // own distinct dedups the round's result — saves one |E| shuffle/round
   }
 
   /** Input oriented src > dst. For each u: m = min of its dsts; emit
@@ -99,7 +104,7 @@ object ConnectedComponents {
   private[algos] def smallStar(e: DataFrame): DataFrame = {
     val m = e.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("u"), col("m"))
-    val joined = e.join(m, e("src") === col("u"))
+    val joined = e.join(m.hint("SHUFFLE_HASH"), e("src") === col("u"))
     val hangNbrs = joined.filter(col("dst") =!= col("m"))
       .select(col("dst").as("src"), col("m").as("dst"))
     val hangSelf = m.select(col("u").as("src"), col("m").as("dst"))

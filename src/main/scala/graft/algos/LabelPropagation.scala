@@ -48,10 +48,11 @@ object LabelPropagation {
 
     for (step <- 1 to cfg.maxSteps) {
       val t0 = System.nanoTime()
-      // messages along both directions of every directed edge
-      val toDst = e.join(labels, e("src") === labels("id"))
+      // messages along both directions of every directed edge; the
+      // |V|-sized label table hash-joins the cached edge stream
+      val toDst = e.join(labels.hint("SHUFFLE_HASH"), e("src") === labels("id"))
         .select(e("dst").as("vid"), col("label"))
-      val toSrc = e.join(labels, e("dst") === labels("id"))
+      val toSrc = e.join(labels.hint("SHUFFLE_HASH"), e("dst") === labels("id"))
         .select(e("src").as("vid"), col("label"))
       val argmax = toDst.union(toSrc)
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))

@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.graph.EdgeOps
+import graft.graph.PreparedGraph
 import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
 
 /** Pregel-free power-iteration PageRank as Dataset joins + aggregations.
   *
-  * Numerics are bit-for-bit the reference's (spark-graphx 4.1.2
+  * Numerics are the reference's exactly (spark-graphx 4.1.2
   * `lib.PageRank.runWithOptions` / `runUntilConvergenceWithOptions`,
   * verified against executed fixtures FIXTURES.md §3.1-3.3):
   *   - weight(src→dst) = 1 / outDeg(src), parallel edges each counted;
@@ -18,19 +18,24 @@ import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
   *     then the final vector is rescaled so Σ ranks = numVertices
   *     (reference `normalizeRankSum`);
   *   - convergence mode: delta propagation — rank0 = reset, delta0 = reset,
-  *     only vertices with delta > tol send; new delta = (1-reset)·msgSum;
-  *     same final normalization.
+  *     only vertices that received messages last round AND have
+  *     delta > tol send; new delta = (1-reset)·msgSum; same normalization.
   * `danglingRedistribute = true` switches to the textbook variant that
   * redistributes sink mass uniformly each step (off in compat mode —
-  * the acceptance test is allclose vs the reference, SURVEY.md §7.4).
+  * SURVEY.md §7.4).
   *
-  * Scale posture: the weighted edge table is built once (one degree
-  * aggregate + one join), hash-repartitioned by `src` and cached, so each
-  * superstep shuffles only the rank vector (|V| rows, not |E|): contribs
-  * aggregate partially map-side, the final reduce lands hash(dst) — the
-  * same partitioning the vertex-side join needs, so Catalyst reuses the
-  * exchange. Hub skew on dst is handled by AQE skew splitting plus the
-  * two-level salted aggregate (`saltBuckets > 1`).
+  * Execution shape per superstep (the scale story):
+  *   1. ranks ⋈ adjacency on src — a |V|-row ⋈ |V|-row join (broadcast
+  *      when ranks fit, shuffled-hash otherwise; adjacency never moves —
+  *      it is cached hash(src)-partitioned), NOT a join against |E| edge
+  *      rows;
+  *   2. explode(dsts) streams |E| contribution rows through one
+  *      codegen'd stage into a partial hash aggregate (map-side combine
+  *      bounds shuffle volume by |V|·partitions, not |E|);
+  *   3. final aggregate lands hash(dst) — the exact partitioning the
+  *      vertices-side left join needs, so the exchange is reused.
+  * Hub in-degree skew: AQE skew handling plus optional two-level salted
+  * aggregation (`saltBuckets > 1`) that bounds any reducer's input.
   */
 object PageRank {
 
@@ -43,49 +48,48 @@ object PageRank {
       saltBuckets: Int = 1,
       numPartitions: Int = 0,
       checkpoint: Option[CheckpointConfig] = None,
-      resume: Boolean = false)
+      resume: Boolean = false,
+      /** personalized PageRank: all reset mass concentrated on this source
+        * (reference `runWithOptions(srcId = Some(...))`) */
+      personalized: Option[Long] = None)
 
-  /** (id, rank) for every vertex of `edges`. */
+  /** (id, rank) for every vertex of `edges`. Prepares the graph, runs,
+    * releases. Use `runPrepared` to amortize preparation across runs. */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
-    val spark = edges.sparkSession
-    val P = if (cfg.numPartitions > 0) cfg.numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val g = PreparedGraph(edges, cfg.numPartitions)
+    try runPrepared(g, cfg)
+    finally g.unpersist()
+  }
 
-    val e = edges.select(col("src"), col("dst"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // weighted edges, partitioned by src once for the per-superstep join
-    val wEdges = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("out_deg")).as("w"))
-      .repartition(P, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val verts = EdgeOps.vertices(e).repartition(P, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val numVertices = verts.count()
-
+  def runPrepared(g: PreparedGraph, cfg: Config = Config()): DataFrame = {
+    val numVertices = g.numVertices
     val ranks = cfg.tol match {
-      case None      => runStatic(wEdges, verts, cfg, numVertices)
-      case Some(tol) => runConvergence(wEdges, verts, cfg, tol)
+      case None      => runStatic(g, cfg, numVertices)
+      case Some(tol) => runConvergence(g, cfg, tol)
     }
-
     val out =
       if (!cfg.normalize) ranks
       else {
+        // reference normalizeRankSum: Σ = numVertices, but personalized
+        // ranks normalize to Σ = 1 (a probability over the graph)
         val total = ranks.agg(sum("rank")).first().getDouble(0)
-        ranks.select(col("id"), (col("rank") * lit(numVertices / total)).as("rank"))
+        val scale = if (cfg.personalized.isDefined) 1.0 / total else numVertices / total
+        ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
       }
     val result = out.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    wEdges.unpersist(false); verts.unpersist(false)
     result
   }
 
-  /** Per-dst message sum with optional two-level salted aggregation for
-    * hub in-degree skew: partial agg by (dst, salt) first, then final by
-    * dst — bounds any single reducer's input to |salts| partials. */
-  private def msgSums(wEdges: DataFrame, ranks: DataFrame, salt: Int): DataFrame = {
-    val contribs = wEdges.join(ranks, wEdges("src") === ranks("id"))
-      .select(wEdges("dst"), (col("rank") * col("w")).as("contrib"))
+  /** Per-dst message sums for one superstep. `state` must carry (id, and a
+    * `contrib` column = what each source spreads per out-edge × degree⁻¹
+    * is applied here). Optional two-level salted aggregation for hub
+    * in-degree skew. */
+  private def msgSums(g: PreparedGraph, senders: DataFrame, salt: Int): DataFrame = {
+    val adj = g.adjacency
+    val contribs = adj.join(senders, adj("src") === senders("id"))
+      .select(explode(col("dsts")).as("dst"),
+        (col("value") / col("degree")).as("contrib"))
     if (salt <= 1)
       contribs.groupBy("dst").agg(sum("contrib").as("msg"))
     else
@@ -95,23 +99,23 @@ object PageRank {
         .groupBy("dst").agg(sum("msg").as("msg"))
   }
 
-  private def runStatic(wEdges: DataFrame, verts: DataFrame, cfg: Config,
-      numVertices: Long): DataFrame = {
-    val spark = wEdges.sparkSession
+  private def runStatic(g: PreparedGraph, cfg: Config, numVertices: Long): DataFrame = {
     val algo = "pagerank"
-    var (startIter, ranks0) = resumeOrInit(spark, cfg, algo,
-      verts.select(col("id"), lit(1.0).as("rank")))
-    var ranks = ranks0
+    val verts = g.vertices
+    val init = cfg.personalized match {
+      case None => verts.select(col("id"), lit(1.0).as("rank"))
+      case Some(src) => verts.select(col("id"),
+        when(col("id") === src, 1.0).otherwise(0.0).as("rank"))
+    }
+    var (startIter, ranks) = resumeOrInit(g.spark, cfg, algo, init)
     var prev: Option[DataFrame] = None
 
     for (i <- (startIter + 1) to cfg.numIter) {
       val t0 = System.nanoTime()
-      val msgs = msgSums(wEdges, ranks, cfg.saltBuckets)
+      val msgs = msgSums(g, ranks.select(col("id"), col("rank").as("value")), cfg.saltBuckets)
       val withMass =
         if (!cfg.danglingRedistribute) msgs
         else {
-          // sink mass this round = 1 - Σ msgs (ranks sum is known only
-          // pre-normalization in static mode; compute directly)
           val total = ranks.agg(sum("rank")).first().getDouble(0)
           val carried = msgs.agg(sum("msg")).first() match {
             case r if r.isNullAt(0) => 0.0
@@ -120,9 +124,13 @@ object PageRank {
           val sinkShare = (total - carried) / numVertices
           msgs.select(col("dst"), (col("msg") + lit(sinkShare)).as("msg"))
         }
+      val resetTerm: Column = cfg.personalized match {
+        case None => lit(cfg.resetProb)
+        case Some(src) => when(verts("id") === src, cfg.resetProb).otherwise(0.0)
+      }
       val next = verts.join(withMass, verts("id") === withMass("dst"), "left")
         .select(verts("id"),
-          (lit(cfg.resetProb) + lit(1.0 - cfg.resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
+          (resetTerm + lit(1.0 - cfg.resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
       ranks = IterationHygiene.rotate(next, prev, i, cfg.checkpoint, algo)
       prev = Some(ranks)
       cfg.checkpoint.foreach { c =>
@@ -137,10 +145,9 @@ object PageRank {
     * State: (id, rank, delta, received). Senders each round are vertices
     * that received a message last round AND have delta > tol (Pregel
     * activeDirection = Out in the reference). */
-  private def runConvergence(wEdges: DataFrame, verts: DataFrame, cfg: Config,
-      tol: Double): DataFrame = {
+  private def runConvergence(g: PreparedGraph, cfg: Config, tol: Double): DataFrame = {
     val algo = "pagerank_tol"
-    var state = verts.select(col("id"),
+    var state = g.vertices.select(col("id"),
       lit(cfg.resetProb).as("rank"), lit(cfg.resetProb).as("delta"),
       lit(true).as("received"))
     var prev: Option[DataFrame] = None
@@ -150,10 +157,8 @@ object PageRank {
       i += 1
       val t0 = System.nanoTime()
       val senders = state.filter(col("received") && col("delta") > tol)
-        .select(col("id"), col("delta"))
-      val msgs = wEdges.join(senders, wEdges("src") === senders("id"))
-        .select(wEdges("dst"), (col("delta") * col("w")).as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("msg"))
+        .select(col("id"), col("delta").as("value"))
+      val msgs = msgSums(g, senders, cfg.saltBuckets)
       val next = state.join(msgs, state("id") === msgs("dst"), "left")
         .select(state("id"),
           when(col("msg").isNotNull, col("rank") + lit(1.0 - cfg.resetProb) * col("msg"))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Adjacency, EdgeOps, Partitioners}
+import graft.multimodal.MediaOps
+
+class StructuralOpsSpec extends SparkTestBase {
+
+  lazy val e = edgesDF(Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (4L, 4L), (5L, 1L)))
+
+  test("reverse swaps endpoints") {
+    val r = EdgeOps.reverse(e).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((2L, 1L)) && r.contains((1L, 3L)))
+  }
+
+  test("canonicalize: undirected simple graph") {
+    val c = EdgeOps.canonicalize(e).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(c == Set((1L, 2L), (2L, 3L), (1L, 3L), (1L, 5L)))
+  }
+
+  test("groupEdges collapses parallel edges with multiplicity") {
+    val g = EdgeOps.groupEdges(e).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(g((1L, 2L)) == 2L && g((2L, 3L)) == 1L)
+  }
+
+  test("subgraph keeps edges with both endpoints in the vertex set") {
+    import spark.implicits._
+    val kept = Seq(1L, 2L, 3L).toDF("id")
+    val s = EdgeOps.subgraph(e, kept).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(s == Set((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("mask is structural intersection") {
+    val other = edgesDF(Seq((1L, 2L), (9L, 9L)))
+    val m = EdgeOps.mask(e, other).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(m.toSet == Set((1L, 2L))); assert(m.length == 2) // parallel kept
+  }
+
+  test("degrees semantics: out omits sources with none; total covers universe") {
+    val out = EdgeOps.outDegrees(e).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val tot = EdgeOps.degreesTotal(e, EdgeOps.vertices(e))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tot(4L) == 2L) // self loop counts twice in total degree
+  }
+
+  test("adjacency round-trips the edge multiset") {
+    val adj = Adjacency.fromEdges(e)
+    val back = Adjacency.toEdges(adj).collect().map(x => (x.getLong(0), x.getLong(1)))
+    val orig = e.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(back.sorted.toSeq == orig.sorted.toSeq)
+    // degree bucket: deg 1 → bucket 0; deg 2 → bucket 1
+    val b = adj.collect().map(r => r.getAs[Long]("src") -> r.getAs[Int]("bucket")).toMap
+    assert(b(1L) == 1 && b(2L) == 0)
+  }
+
+  test("partition strategies assign within [0, n) and are deterministic") {
+    val n = 7
+    for (strat <- Seq(Partitioners.edgePartition1D _, Partitioners.edgePartition2D _,
+        Partitioners.randomVertexCut _, Partitioners.canonicalRandomVertexCut _)) {
+      val p = e.select(strat(n).as("p")).collect().map(_.getInt(0))
+      assert(p.forall(x => x >= 0 && x < n))
+    }
+    // canonical strategy: both directions land together
+    val both = edgesDF(Seq((1L, 2L), (2L, 1L)))
+      .select(Partitioners.canonicalRandomVertexCut(n).as("p"))
+      .collect().map(_.getInt(0))
+    assert(both(0) == both(1))
+  }
+
+  test("edge list loader canonical orientation flips per edge without dedup") {
+    val p = java.nio.file.Files.createTempFile("canon", ".txt")
+    java.nio.file.Files.write(p, "3 1\n1 3\n2 5\n".getBytes)
+    val c = EdgeOps.edgeListFile(spark, p.toString, canonicalOrientation = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(c.sorted.toSeq == Seq((1L, 3L), (1L, 3L), (2L, 5L)))
+  }
+
+  test("multimodal: batched stub decode is deterministic and total") {
+    implicit val s = spark
+    val media = MediaOps.syntheticMedia(spark, 50)
+    val f1 = MediaOps.decodeFeatures(media, maxBatchBytes = 1024).collect()
+    val f2 = MediaOps.decodeFeatures(media, maxBatchBytes = 1L << 20).collect()
+    assert(f1.length == 50 && f2.length == 50)
+    val m1 = f1.map(r => r.media_id -> r.features.toSeq).toMap
+    val m2 = f2.map(r => r.media_id -> r.features.toSeq).toMap
+    assert(m1 == m2) // batch size must not change results
+    assert(m1.values.forall(_.size == MediaOps.FeatureDim))
+  }
+
+  test("multimodal: frame-sample plan shape") {
+    implicit val s = spark
+    val media = MediaOps.syntheticMedia(spark, 10).toDF()
+    val frames = MediaOps.frameSamplePlan(media, fps = 1.0)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // duration i%60000 ms at 1 fps → max(1, floor(duration/1000)) frames (min 1 via greatest)
+    assert(byId(5L) == 1L) // 5ms duration → 1 frame (floor=0 → greatest(0, -1)=0 → seq(0,0) = 1 row)
+  }
+}
