@@ -197,6 +197,28 @@ object DriverQueries {
        | FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
        | JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
 
+  // ------------------------------------------------------------ shortest paths
+
+  /** High custkeys (exist at all sf) — ring edges orient low→high, so
+    * low-id vertices have real multi-hop forward paths to these. */
+  val SpLandmarks = Seq(147L, 148L, 149L)
+
+  def qShortestPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.algos.ShortestPaths.run(ringGraph(spark, dir), SpLandmarks)
+
+  /** BFS min-hops as bounded recursive closure (cap 50 ≫ diameter). */
+  val qShortestPathsSql: String =
+    s"""WITH RECURSIVE edges AS ($ringGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | reach(id, lm, d) AS (
+       |   SELECT id, id, 0 FROM verts WHERE id IN (${SpLandmarks.mkString(",")})
+       |   UNION
+       |   SELECT e.src, r.lm, r.d + 1 FROM reach r
+       |   JOIN edges e ON e.dst = r.id WHERE r.d < 50)
+       | SELECT id, CAST(lm AS BIGINT) AS landmark,
+       |  CAST(min(d) AS INTEGER) AS distance
+       | FROM reach GROUP BY id, lm""".stripMargin
+
   // ------------------------------------------------------------------- lpa
 
   val LpaSteps = 2

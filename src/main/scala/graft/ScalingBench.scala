@@ -21,7 +21,8 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nVerts = sys.env.getOrElse("SPARK_SCALE_VERTS", "1000000").toLong
     val iters = 5
-    val levels = Seq(8, 32)
+    val levels = sys.env.getOrElse("SPARK_SCALE_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
 
     val results = levels.map { cpus =>
       val spark = SparkSession.builder()
@@ -39,7 +40,8 @@ object ScalingBench {
         numPartitions = 2 * cpus)
       val prepSec = (System.nanoTime() - t0) / 1e9
       val m = g.numEdges
-      val runs = (1 to 3).map { _ =>
+      val nRuns = sys.env.getOrElse("SPARK_SCALE_RUNS", "3").toInt
+      val runs = (1 to nRuns).map { _ =>
         val t1 = System.nanoTime()
         PageRank.runPrepared(g, PageRank.Config(numIter = iters)).unpersist(false)
         (System.nanoTime() - t1) / 1e9
@@ -48,6 +50,7 @@ object ScalingBench {
       val eps = m.toDouble * iters / best
       System.err.println(f"[scaling] cpus=$cpus edges=$m prep=$prepSec%.1f " +
         f"runs=${runs.map(r => f"$r%.1f").mkString("/")} eps=${eps / 1e6}%.2f M/s")
+      g.unpersist(); spark.catalog.clearCache()
       spark.stop()
       (cpus, m, prepSec, runs, eps)
     }

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_triangles" -> (DriverQueries.qTriangles _),
     "q_triangles_total" -> (DriverQueries.qTrianglesTotal _),
     "q_label_propagation" -> (DriverQueries.qLabelPropagation _),
+    "q_shortest_paths" -> (DriverQueries.qShortestPaths _),
     // training-data pipeline ops
     "q_dedup_exact" -> (DocQueries.qDedupExact _),
     "q_doc_stats" -> (DocQueries.qDocStats _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "q_triangles" -> DriverQueries.qTrianglesSql,
     "q_triangles_total" -> DriverQueries.qTrianglesTotalSql,
     "q_label_propagation" -> DriverQueries.qLabelPropagationSql,
+    "q_shortest_paths" -> DriverQueries.qShortestPathsSql,
     "q_dedup_exact" -> DocQueries.qDedupExactSql,
     "q_doc_stats" -> DocQueries.qDocStatsSql,
     "q_ngram_dupes" -> DocQueries.qNgramDupesSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.graph.EdgeOps
-import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
+import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
 
 /** Connected components via alternating small-star / large-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -41,31 +41,28 @@ object ConnectedComponents {
     val allVerts = EdgeOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
 
     // start from the canonical simple undirected form, oriented big→small
-    var e = edges.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev: Option[DataFrame] = Some(e)
+    val rotator = new StateRotator(cfg.checkpoint, "cc")
+    var e = rotator.rotate(
+      edges.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct(),
+      superstep = 0)
 
+    // fixed point iff the (set-valued) edge set is unchanged between
+    // rounds; both sides are distinct sets → compare (count, xor-checksum)
+    var sigPrev = edgeSetSignature(e)
     var round = 0
-    var converged = e.isEmpty
+    var converged = sigPrev._1 == 0L
     while (!converged && round < cfg.maxRounds) {
       round += 1
       val t0 = System.nanoTime()
-
-      val next = smallStar(largeStar(e))
-      val rotated = IterationHygiene.rotate(next, None, round, cfg.checkpoint, "cc")
-
-      // fixed point iff the (set-valued) edge set is unchanged; both sides
-      // are distinct sets, so compare sizes + an order-free checksum
-      converged = sameEdgeSet(e, rotated)
-      prev.foreach(_.unpersist(false))
-      e = rotated
-      prev = Some(e)
-
+      e = rotator.rotate(smallStar(largeStar(e)), round)
+      val sig = edgeSetSignature(e)
+      converged = sig == sigPrev
+      sigPrev = sig
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(e, c, "cc", round, Double.NaN, e.count(),
+        Checkpoints.logSuperstep(e, c, "cc", round, Double.NaN, sig._1,
           (System.nanoTime() - t0) / 1000000)
       }
     }
@@ -75,8 +72,8 @@ object ConnectedComponents {
       .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    prev.foreach(_.unpersist(false)); allVerts.unpersist(false)
+    out.count() // materialize before releasing iteration state
+    rotator.close(); allVerts.unpersist(false)
     out
   }
 
@@ -111,16 +108,12 @@ object ConnectedComponents {
     hangNbrs.union(hangSelf).filter(col("src") =!= col("dst")).distinct()
   }
 
-  /** Order-free equality of two distinct edge sets: equal counts and equal
-    * xor checksum of row hashes (overflow-free, order-insensitive;
-    * collision-safe enough at 64 bit for a convergence test that only ever
-    * compares successive iterates). */
-  private def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean = {
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("c"),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).first()
-      (r.getLong(0), r.getLong(1))
-    }
-    sig(a) == sig(b)
+  /** (count, xor checksum of row hashes) — order-free, overflow-free set
+    * signature; collision-safe enough at 64 bit for a convergence test
+    * that only ever compares successive iterates. */
+  private def edgeSetSignature(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).first()
+    (r.getLong(0), r.getLong(1))
   }
 }

@@ -2,9 +2,10 @@ package graft.algos
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.graph.EdgeOps
-import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
+import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
 
 /** Synchronous label propagation (reference: spark-graphx 4.1.2
   * `lib.LabelPropagation`; Raghavan et al. 2007).
@@ -21,10 +22,11 @@ import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
   * maximal-count labels, making output deterministic at any scale;
   * exact-match differential tests use tie-free graphs.
   *
-  * Each superstep: two label joins (by src, by dst — both against the
-  * edge table partitioned once), a (vertex, label) count aggregate with
-  * map-side partial aggregation, and a `max_by` argmax — no UDAF, fully
-  * codegen'd.
+  * Execution shape per superstep (same pattern as PageRank): the |V|-row
+  * label state joins the cached forward and reverse adjacency blocks
+  * (hash join, no |E|-row join), explodes into the 2|E| message stream,
+  * and a (vertex, label) count + `max_by` argmax — map-side partial
+  * aggregation bounds the shuffle; no UDAF, fully codegen'd.
   */
 object LabelPropagation {
 
@@ -38,23 +40,32 @@ object LabelPropagation {
     val spark = edges.sparkSession
     val P = if (cfg.numPartitions > 0) cfg.numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(P, col("src")).cache()
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
 
-    val verts = EdgeOps.vertices(e).repartition(P, col("id")).cache()
+    def adjOf(df: DataFrame): DataFrame =
+      df.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
+        .repartition(P, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val fwd = adjOf(e)
+    val rev = adjOf(EdgeOps.reverse(e))
+    fwd.count(); rev.count()
+    val verts = EdgeOps.vertices(e).repartition(P, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    e.unpersist(false)
+
     var labels = verts.select(col("id"), col("id").as("label"))
-    var prev: Option[DataFrame] = None
+    val rotator = new StateRotator(cfg.checkpoint, "lpa")
 
     for (step <- 1 to cfg.maxSteps) {
       val t0 = System.nanoTime()
-      // messages along both directions of every directed edge; the
-      // |V|-sized label table hash-joins the cached edge stream
-      val toDst = e.join(labels.hint("SHUFFLE_HASH"), e("src") === labels("id"))
-        .select(e("dst").as("vid"), col("label"))
-      val toSrc = e.join(labels.hint("SHUFFLE_HASH"), e("dst") === labels("id"))
-        .select(e("src").as("vid"), col("label"))
-      val argmax = toDst.union(toSrc)
+      // messages along both directions of every directed edge
+      def msgs(adj: DataFrame): DataFrame =
+        adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
+          .select(explode(col("dsts")).as("vid"), col("label"))
+      val argmax = msgs(fwd).union(msgs(rev))
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))
         // max_by over (cnt, -label): highest count, ties → smallest label
         .groupBy(col("vid"))
@@ -64,14 +75,16 @@ object LabelPropagation {
       // coalesce for subgraph-restricted universes)
       val next = labels.join(argmax, labels("id") === argmax("vid"), "left")
         .select(labels("id"), coalesce(col("new_label"), col("label")).as("label"))
-      labels = IterationHygiene.rotate(next, prev, step, cfg.checkpoint, "lpa")
-      prev = Some(labels)
+      labels = rotator.rotate(next, step)
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(labels, c, "lpa", step, Double.NaN, 0L,
           (System.nanoTime() - t0) / 1000000)
       }
     }
-    e.unpersist(false); verts.unpersist(false)
-    labels
+    val out = labels.select(col("id"), col("label")).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before releasing iteration state
+    rotator.close()
+    fwd.unpersist(false); rev.unpersist(false); verts.unpersist(false)
+    out
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.graph.PreparedGraph
-import graft.runtime.{CheckpointConfig, Checkpoints, IterationHygiene}
+import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
 
 /** Pregel-free power-iteration PageRank as Dataset joins + aggregations.
   *
@@ -63,7 +63,7 @@ object PageRank {
 
   def runPrepared(g: PreparedGraph, cfg: Config = Config()): DataFrame = {
     val numVertices = g.numVertices
-    val ranks = cfg.tol match {
+    val (ranks, rotator) = cfg.tol match {
       case None      => runStatic(g, cfg, numVertices)
       case Some(tol) => runConvergence(g, cfg, tol)
     }
@@ -77,7 +77,8 @@ object PageRank {
         ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
       }
     val result = out.persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
+    result.count() // materialize before releasing iteration state
+    rotator.close()
     result
   }
 
@@ -99,7 +100,8 @@ object PageRank {
         .groupBy("dst").agg(sum("msg").as("msg"))
   }
 
-  private def runStatic(g: PreparedGraph, cfg: Config, numVertices: Long): DataFrame = {
+  private def runStatic(g: PreparedGraph, cfg: Config,
+      numVertices: Long): (DataFrame, StateRotator) = {
     val algo = "pagerank"
     val verts = g.vertices
     val init = cfg.personalized match {
@@ -108,7 +110,7 @@ object PageRank {
         when(col("id") === src, 1.0).otherwise(0.0).as("rank"))
     }
     var (startIter, ranks) = resumeOrInit(g.spark, cfg, algo, init)
-    var prev: Option[DataFrame] = None
+    val rotator = new StateRotator(cfg.checkpoint, algo)
 
     for (i <- (startIter + 1) to cfg.numIter) {
       val t0 = System.nanoTime()
@@ -131,26 +133,26 @@ object PageRank {
       val next = verts.join(withMass, verts("id") === withMass("dst"), "left")
         .select(verts("id"),
           (resetTerm + lit(1.0 - cfg.resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
-      ranks = IterationHygiene.rotate(next, prev, i, cfg.checkpoint, algo)
-      prev = Some(ranks)
+      ranks = rotator.rotate(next, i)
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(ranks, c, algo, i, Double.NaN, numVertices,
           (System.nanoTime() - t0) / 1000000)
       }
     }
-    ranks
+    (ranks, rotator)
   }
 
   /** Reference `runUntilConvergence`: delta-propagating dynamic PageRank.
     * State: (id, rank, delta, received). Senders each round are vertices
     * that received a message last round AND have delta > tol (Pregel
     * activeDirection = Out in the reference). */
-  private def runConvergence(g: PreparedGraph, cfg: Config, tol: Double): DataFrame = {
+  private def runConvergence(g: PreparedGraph, cfg: Config,
+      tol: Double): (DataFrame, StateRotator) = {
     val algo = "pagerank_tol"
     var state = g.vertices.select(col("id"),
       lit(cfg.resetProb).as("rank"), lit(cfg.resetProb).as("delta"),
       lit(true).as("received"))
-    var prev: Option[DataFrame] = None
+    val rotator = new StateRotator(cfg.checkpoint, algo)
     var i = 0
     var active = 1L
     while (active > 0) {
@@ -166,15 +168,14 @@ object PageRank {
           when(col("msg").isNotNull, lit(1.0 - cfg.resetProb) * col("msg"))
             .otherwise(col("delta")).as("delta"),
           col("msg").isNotNull.as("received"))
-      state = IterationHygiene.rotate(next, prev, i, cfg.checkpoint, algo)
-      prev = Some(state)
+      state = rotator.rotate(next, i)
       active = state.filter(col("received") && col("delta") > tol).count()
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(state, c, algo, i, Double.NaN, active,
           (System.nanoTime() - t0) / 1000000)
       }
     }
-    state.select("id", "rank")
+    (state.select("id", "rank"), rotator)
   }
 
   private def resumeOrInit(spark: SparkSession, cfg: Config, algo: String,

@@ -75,29 +75,100 @@ object Checkpoints {
 }
 
 /** Driver-side iteration hygiene shared by all iterative operators: rotate
-  * cached state, truncate lineage with localCheckpoint on a cadence (and
-  * durable parquet checkpoints when a CheckpointConfig is given). Unbounded
-  * lineage in a Dataset loop OOMs the driver — this is the one concern
-  * Catalyst does not manage for us (SURVEY.md §4.1). */
-object IterationHygiene {
+  * cached state each superstep, truncate lineage with a durable parquet
+  * checkpoint on the configured cadence. Unbounded lineage in a Dataset
+  * loop bloats the driver — this is the one concern Catalyst does not
+  * manage for us (SURVEY.md §4.1).
+  *
+  * Deliberately NO `localCheckpoint` here: its checkpointed RDD is not
+  * released by `Dataset.unpersist` (CacheManager doesn't track it), which
+  * leaks one |V|-sized block per superstep — measured as run-over-run
+  * degradation in ScalingBench. persist+count+unpersist(prev) keeps memory
+  * flat; the logical plan grows linearly with supersteps, which is fine at
+  * PageRank/CC iteration counts, and the durable checkpoint resets it.
+  */
+/** Per-superstep state rotation for iterative operators. Three concerns,
+  * all measured failure modes, handled together (SURVEY.md §4.1):
+  *  1. logical-plan growth — a superstep whose state feeds the next plan
+  *     twice (convergence PageRank) DOUBLES the plan per superstep →
+  *     plan-string OOM; `localCheckpoint` truncates to a LogicalRDD leaf;
+  *  2. RDD-lineage growth — persist alone keeps the physical lineage, and
+  *     task (de)serialization stack-overflows after ~50 supersteps;
+  *     `localCheckpoint` truncates that too (plain plan surgery via
+  *     `createDataFrame(df.rdd, schema)` does NOT);
+  *  3. storage leak — `Dataset.unpersist` does not release a
+  *     localCheckpoint's internal RDD blocks (they're outside the
+  *     CacheManager) → run-over-run degradation; we capture the internal
+  *     RDD from the checkpointed plan and unpersist it explicitly when
+  *     rotating past it.
+  * Durable parquet checkpoints (CheckpointConfig cadence) subsume all
+  * three AND give resume points.
+  */
+final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
 
-  /** Materialize + truncate `next`, unpersist `prev`. Returns the frame to
-    * carry into the next superstep. */
-  def rotate(next: DataFrame, prev: Option[DataFrame], superstep: Int,
-      cfg: Option[CheckpointConfig], algo: String): DataFrame = {
-    val out = cfg match {
-      case Some(c) if c.every > 0 && superstep % c.every == 0 =>
-        Checkpoints.save(next, c, algo, superstep)
-      case Some(c) if c.localEvery > 0 && superstep % c.localEvery == 0 =>
-        next.localCheckpoint(true)
-      case None if superstep % 2 == 0 =>
-        next.localCheckpoint(true)
-      case _ =>
-        next.persist(StorageLevel.MEMORY_AND_DISK)
+  // Release of the PREVIOUS superstep's storage. Never via
+  // Dataset.unpersist for localCheckpoint states: that uncaches by PLAN
+  // EQUIVALENCE in the CacheManager and takes down any caller cache built
+  // over a sameResult plan (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+  // on algorithm results that are trivial projections of the final
+  // state) — the checkpoint's blocks are released via its internal RDD
+  // handle instead, which no CacheManager entry ever points at.
+  private var release: () => Unit = () => ()
+
+  private def internalRddRelease(df: DataFrame): () => Unit = {
+    val h = df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
-    // force materialization before dropping the previous state
-    out.count()
-    prev.foreach(_.unpersist(false))
+    () => h.foreach(_.unpersist(false))
+  }
+
+  /** Plan/lineage truncation cadence: a cheap persist on in-between
+    * supersteps, a localCheckpoint every `localEvery` (growth between
+    * truncations is at most 2^localEvery for state-used-twice loops). */
+  private val localEvery = cfg.map(_.localEvery).getOrElse(2).max(1)
+
+  /** Materialize `next`, release the previous superstep's state. */
+  def rotate(next: DataFrame, superstep: Int): DataFrame = {
+    val (out, rel) = cfg match {
+      case Some(c) if c.every > 0 && superstep % c.every == 0 =>
+        val saved = Checkpoints.save(next, c, algo, superstep) // plan+lineage reset
+        saved.persist(StorageLevel.MEMORY_AND_DISK)
+        saved.count()
+        (saved, () => saved.unpersist(false): Unit)
+      case _ if superstep % localEvery == 0 =>
+        val cp = next.localCheckpoint(true) // eager; truncates plan + lineage
+        (cp, internalRddRelease(cp))
+      case _ =>
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        // releasing an INTERMEDIATE persist by plan is safe: successors
+        // have strictly larger plans, and the final state is never
+        // released here (close() hands it to the caller)
+        (p, () => p.unpersist(false): Unit)
+    }
+    release()
+    release = rel
     out
+  }
+
+  /** Hand ownership of the FINAL state to the caller: its blocks stay
+    * alive for any result frame derived from it (one bounded |V|-sized
+    * block set per algorithm run; durable-checkpoint runs release fully
+    * on the next cadence). */
+  def close(): Unit = { release = () => () }
+}
+
+/** One-off plan+lineage truncation for loops whose state isn't a single
+  * rotating frame (e.g. ShortestPaths' dists ∪ frontier). Returns the
+  * truncated frame and a release thunk for ITS storage — call it only
+  * once nothing derived-but-unmaterialized depends on the frame. */
+object IterationHygiene {
+  def truncate(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint(true)
+    val h = cp.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    df.unpersist(false)
+    (cp, () => h.foreach(_.unpersist(false)))
   }
 }

@@ -75,13 +75,14 @@ object Dedup {
 
   // --------------------------------------------------------------- minhash
 
-  /** MinHash signature: numHashes independent xxhash64 seeds, min over the
-    * document's shingle set per seed. Pure expression array. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
+  /** MinHash signature over a PRE-COMPUTED shingle-array column:
+    * numHashes independent xxhash64 seeds, min over the shingle set per
+    * seed. Takes the column (not the text) deliberately — inlining the
+    * regexp-heavy shingle expression here would re-evaluate it once per
+    * hash function (measured 25× slowdown). */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
 
   /** MinHash LSH near-dup pairs: signatures banded (bands × rowsPerBand =
     * numHashes); docs colliding on any band's hash become candidates;
@@ -93,18 +94,25 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+    // Materialize the shingle and band frames: the banded self-join plus
+    // the verification joins would otherwise re-evaluate the
+    // regexp-shingle → 128-hash pipeline ~5× (and Catalyst happily
+    // inlines the shingle expression into every hash branch) — measured
+    // as a 50×+ blowup. localCheckpoint = eager, plan+lineage truncated.
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .localCheckpoint(true)
+    val banded = sh
+      .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      .localCheckpoint(true)
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
     // verify candidates with exact Jaccard over shingle sets
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     cand
       .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
       .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
