@@ -1,11 +1,11 @@
 package graft.algos
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.graph.EdgeOps
-import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
+import graft.runtime.{AdaptivePartitions, CheckpointConfig, Checkpoints, StateRotator}
 
 /** Connected components via alternating small-star / large-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -27,40 +27,77 @@ import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
   *             hang u and all its (smaller) neighbors onto min.
   * Fixed point: the edge set is a forest of stars rooted at component
   * minima.
+  *
+  * Overhead proportionality (the 100 TB story in reverse): the edge set
+  * SHRINKS geometrically across rounds, so each round's state is
+  * re-partitioned to its measured size (AdaptivePartitions) and the
+  * min-label side switches from shuffled-hash to broadcast once it
+  * provably fits — late rounds of a web-scale run cost what a small graph
+  * costs, not what round 0 cost. The convergence signature (count,
+  * xor-checksum) is collected via `Dataset.observe` DURING each round's
+  * materialization — zero extra passes over the state.
   */
 object ConnectedComponents {
 
   final case class Config(
       numPartitions: Int = 0,
       maxRounds: Int = 100,
-      checkpoint: Option[CheckpointConfig] = None)
+      checkpoint: Option[CheckpointConfig] = None,
+      resume: Boolean = false)
 
   /** (id, component) for every vertex appearing in `edges`. */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
-    val allVerts = EdgeOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // one pass over the (possibly expensive) input plan: the vertex
+    // universe AND round 0 both derive from this cache, instead of each
+    // re-executing the upstream join/extraction
+    val raw = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rawRows = raw.count()
+    val allVerts = EdgeOps.vertices(raw)
+      .coalesce(AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    allVerts.count()
 
-    // start from the canonical simple undirected form, oriented big→small
     val rotator = new StateRotator(cfg.checkpoint, "cc")
-    var e = rotator.rotate(
-      edges.filter(col("src") =!= col("dst"))
-        .select(greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .distinct(),
-      superstep = 0)
+    val resumed =
+      if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, "cc"))
+      else None
+    var round = resumed.map(_._1).getOrElse(0)
+    var (e, sigPrev) = resumed match {
+      case Some((_, snapshot)) =>
+        // adopt the snapshot (never re-save over the dir being read) and
+        // recover the convergence signature with one pass over it
+        val adopted = rotator.adopt(snapshot)
+        (adopted, edgeSetSignature(adopted))
+      case None =>
+        // start from the canonical simple undirected form, big→small;
+        // rawRows bounds the canonical row count → partition sizing
+        val p0 = AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions)
+        val (df, sig) = rotateObserved(rotator,
+          raw.filter(col("src") =!= col("dst"))
+            .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+            .distinct().coalesce(p0), 0)
+        (df, sig)
+    }
+    raw.unpersist(false)
 
     // fixed point iff the (set-valued) edge set is unchanged between
     // rounds; both sides are distinct sets → compare (count, xor-checksum)
-    var sigPrev = edgeSetSignature(e)
-    var round = 0
     var converged = sigPrev._1 == 0L
     while (!converged && round < cfg.maxRounds) {
       round += 1
       val t0 = System.nanoTime()
-      e = rotator.rotate(smallStar(largeStar(e)), round)
-      val sig = edgeSetSignature(e)
+      val prevRows = sigPrev._1
+      val p = AdaptivePartitions.forRows(spark, prevRows, cfg.numPartitions)
+      val (next, sig) = rotateObserved(rotator,
+        smallStar(largeStar(e)).coalesce(p), round)
+      e = next
       converged = sig == sigPrev
       sigPrev = sig
+      graft.runtime.Trace.log(
+        f"cc round=$round edges=${sig._1} p=$p sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(e, c, "cc", round, Double.NaN, sig._1,
           (System.nanoTime() - t0) / 1000000)
@@ -77,11 +114,37 @@ object ConnectedComponents {
     out
   }
 
+  /** Rotate (materialize) one round's edge set and return it together
+    * with its set signature, collected by `observe` during the rotation's
+    * own materialization pass — no separate aggregation job. Falls back
+    * to a direct aggregate over the (now cached) state if the observed
+    * metrics don't surface. */
+  private def rotateObserved(rotator: StateRotator, next: DataFrame,
+      round: Int): (DataFrame, (Long, Long)) = {
+    val obs = Observation(s"cc_sig_$round")
+    val observed = next.observe(obs,
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+    val rotated = rotator.rotate(observed, round)
+    var tries = 0
+    while (tries < 40) {
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          return (rotated, (row.getAs[Long]("c"), row.getAs[Long]("h")))
+        case _ => Thread.sleep(25); tries += 1
+      }
+    }
+    (rotated, edgeSetSignature(rotated))
+  }
+
   /** For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
     * Output edges all satisfy src > dst. Neighborhoods are symmetric.
     * The |V|-sized min-neighbor table joins the |E|-sized symmetric edge
-    * stream hash-to-hash (never sorting the edges); AQE upgrades to
-    * broadcast when it fits. */
+    * stream hash-to-hash (never sorting the edges). Deliberately NOT a
+    * broadcast join even when m is small: each broadcast is a blocking
+    * driver job, and the two per-round m-joins would serialize the round
+    * into a chain of broadcast barriers — measured SLOWER than letting
+    * AQE run the (tiny) shuffle stages concurrently. */
   private[algos] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.graph.EdgeOps
-import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
+import graft.runtime.{AdaptivePartitions, CheckpointConfig, Checkpoints, StateRotator}
 
 /** Synchronous label propagation (reference: spark-graphx 4.1.2
   * `lib.LabelPropagation`; Raghavan et al. 2007).
@@ -33,15 +33,15 @@ object LabelPropagation {
   final case class Config(
       maxSteps: Int = 5,
       numPartitions: Int = 0,
-      checkpoint: Option[CheckpointConfig] = None)
+      checkpoint: Option[CheckpointConfig] = None,
+      resume: Boolean = false)
 
   /** (id, label) after `cfg.maxSteps` synchronous supersteps. */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
-    val P = if (cfg.numPartitions > 0) cfg.numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val edgeCount = e.count()
+    val P = AdaptivePartitions.forRows(spark, edgeCount, cfg.numPartitions)
 
     def adjOf(df: DataFrame): DataFrame =
       df.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
@@ -53,17 +53,27 @@ object LabelPropagation {
     fwd.count(); rev.count()
     val verts = EdgeOps.vertices(e).repartition(P, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count()
+    val numVertices = verts.count()
     e.unpersist(false)
 
-    var labels = verts.select(col("id"), col("id").as("label"))
     val rotator = new StateRotator(cfg.checkpoint, "lpa")
+    val init = verts.select(col("id"), col("id").as("label"))
+    // resume mid-iteration: the checkpointed (id, label) frame IS the full
+    // superstep state — continuing from it is bit-identical
+    val resumed =
+      if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, "lpa"))
+      else None
+    val startStep = resumed.map(_._1).getOrElse(0)
+    var labels = resumed.map { case (_, df) => rotator.adopt(df) }.getOrElse(init)
 
-    for (step <- 1 to cfg.maxSteps) {
+    for (step <- (startStep + 1) to cfg.maxSteps) {
       val t0 = System.nanoTime()
-      // messages along both directions of every directed edge
+      // messages along both directions of every directed edge; the label
+      // state (≤ |V| rows) broadcasts when provably small, shuffled-hash
+      // joins at scale
+      val labelSide = AdaptivePartitions.sideFor(labels, numVertices)
       def msgs(adj: DataFrame): DataFrame =
-        adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
+        adj.join(labelSide, adj("src") === labels("id"))
           .select(explode(col("dsts")).as("vid"), col("label"))
       val argmax = msgs(fwd).union(msgs(rev))
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -73,9 +83,12 @@ object LabelPropagation {
       // vertices with no incident messages keep their label (none here —
       // every vertex of an edge table has ≥1 incident edge — but keep the
       // coalesce for subgraph-restricted universes)
-      val next = labels.join(argmax, labels("id") === argmax("vid"), "left")
+      val argmaxSide = AdaptivePartitions.sideFor(argmax, numVertices)
+      val next = labels.join(argmaxSide, labels("id") === argmax("vid"), "left")
         .select(labels("id"), coalesce(col("new_label"), col("label")).as("label"))
-      labels = rotator.rotate(next, step)
+      labels = rotator.rotate(next.coalesce(P), step)
+      graft.runtime.Trace.log(
+        f"lpa step=$step sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(labels, c, "lpa", step, Double.NaN, 0L,
           (System.nanoTime() - t0) / 1000000)

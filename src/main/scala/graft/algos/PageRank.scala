@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.graph.PreparedGraph
-import graft.runtime.{CheckpointConfig, Checkpoints, StateRotator}
+import graft.runtime.{AdaptivePartitions, CheckpointConfig, Checkpoints, StateRotator}
 
 /** Pregel-free power-iteration PageRank as Dataset joins + aggregations.
   *
@@ -62,6 +62,10 @@ object PageRank {
   }
 
   def runPrepared(g: PreparedGraph, cfg: Config = Config()): DataFrame = {
+    require(cfg.tol.isEmpty || cfg.personalized.isEmpty,
+      "personalized PageRank is static-mode only (reference " +
+        "runUntilConvergenceWithOptions personalization is not implemented); " +
+        "set tol=None or personalized=None")
     val numVertices = g.numVertices
     val (ranks, rotator) = cfg.tol match {
       case None      => runStatic(g, cfg, numVertices)
@@ -72,9 +76,19 @@ object PageRank {
       else {
         // reference normalizeRankSum: Σ = numVertices, but personalized
         // ranks normalize to Σ = 1 (a probability over the graph)
-        val total = ranks.agg(sum("rank")).first().getDouble(0)
-        val scale = if (cfg.personalized.isDefined) 1.0 / total else numVertices / total
-        ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
+        val totalRow = ranks.agg(sum("rank")).first()
+        val total = if (totalRow.isNullAt(0)) 0.0 else totalRow.getDouble(0)
+        if (total <= 0.0) {
+          // empty graph, or a personalized source absent from it: nothing
+          // to normalize — never silently divide to NaN/Infinity
+          require(cfg.personalized.isEmpty || total > 0.0,
+            s"personalized source ${cfg.personalized.get} received no rank " +
+              "mass — is it a vertex of the graph?")
+          ranks
+        } else {
+          val scale = if (cfg.personalized.isDefined) 1.0 / total else numVertices / total
+          ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
+        }
       }
     val result = out.persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize before releasing iteration state
@@ -88,7 +102,11 @@ object PageRank {
     * in-degree skew. */
   private def msgSums(g: PreparedGraph, senders: DataFrame, salt: Int): DataFrame = {
     val adj = g.adjacency
-    val contribs = adj.join(senders, adj("src") === senders("id"))
+    // senders ≤ |V| rows of (long, double): broadcast when provably small
+    // (no shuffle at all — adjacency streams in place), shuffled-hash at
+    // scale (never a per-superstep sort of the big side)
+    val side = AdaptivePartitions.sideFor(senders, g.numVertices)
+    val contribs = adj.join(side, adj("src") === senders("id"))
       .select(explode(col("dsts")).as("dst"),
         (col("value") / col("degree")).as("contrib"))
     if (salt <= 1)
@@ -111,29 +129,38 @@ object PageRank {
     }
     var (startIter, ranks) = resumeOrInit(g.spark, cfg, algo, init)
     val rotator = new StateRotator(cfg.checkpoint, algo)
+    val pState = g.numPartitions // |E|-proportional (PreparedGraph)
 
     for (i <- (startIter + 1) to cfg.numIter) {
       val t0 = System.nanoTime()
-      val msgs = msgSums(g, ranks.select(col("id"), col("rank").as("value")), cfg.saltBuckets)
+      val msgs0 = msgSums(g, ranks.select(col("id"), col("rank").as("value")), cfg.saltBuckets)
+      // dangling mode reads msgs twice (scalar agg + state join): cache it
+      val msgs = if (cfg.danglingRedistribute)
+        msgs0.persist(StorageLevel.MEMORY_AND_DISK) else msgs0
       val withMass =
         if (!cfg.danglingRedistribute) msgs
         else {
-          val total = ranks.agg(sum("rank")).first().getDouble(0)
-          val carried = msgs.agg(sum("msg")).first() match {
-            case r if r.isNullAt(0) => 0.0
-            case r => r.getDouble(0)
-          }
-          val sinkShare = (total - carried) / numVertices
+          // one action for both driver-side scalars: total rank in flight
+          // and carried (non-dangling) mass — not two (VERDICT r01 #6)
+          val agg = ranks.agg(sum("rank").as("t"))
+            .crossJoin(msgs.agg(coalesce(sum("msg"), lit(0.0)).as("c"))).first()
+          val sinkShare = (agg.getDouble(0) - agg.getDouble(1)) / numVertices
           msgs.select(col("dst"), (col("msg") + lit(sinkShare)).as("msg"))
         }
       val resetTerm: Column = cfg.personalized match {
         case None => lit(cfg.resetProb)
         case Some(src) => when(verts("id") === src, cfg.resetProb).otherwise(0.0)
       }
-      val next = verts.join(withMass, verts("id") === withMass("dst"), "left")
+      // msgs ≤ |V| rows: broadcast-join against the cached vertex frame
+      // when small (zero exchanges in the whole superstep tail)
+      val msgSide = AdaptivePartitions.sideFor(withMass, numVertices)
+      val next = verts.join(msgSide, verts("id") === withMass("dst"), "left")
         .select(verts("id"),
           (resetTerm + lit(1.0 - cfg.resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
-      ranks = rotator.rotate(next, i)
+      ranks = rotator.rotate(next.coalesce(pState), i)
+      if (cfg.danglingRedistribute) msgs.unpersist(false)
+      graft.runtime.Trace.log(
+        f"pagerank superstep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(ranks, c, algo, i, Double.NaN, numVertices,
           (System.nanoTime() - t0) / 1000000)
@@ -149,26 +176,33 @@ object PageRank {
   private def runConvergence(g: PreparedGraph, cfg: Config,
       tol: Double): (DataFrame, StateRotator) = {
     val algo = "pagerank_tol"
-    var state = g.vertices.select(col("id"),
+    val init = g.vertices.select(col("id"),
       lit(cfg.resetProb).as("rank"), lit(cfg.resetProb).as("delta"),
       lit(true).as("received"))
+    // resume mid-iteration: the checkpointed state carries the full
+    // (rank, delta, received) superstep state, so continuing from the
+    // latest snapshot is bit-identical to never having stopped
+    var (startIter, state) = resumeOrInit(g.spark, cfg, algo, init)
     val rotator = new StateRotator(cfg.checkpoint, algo)
-    var i = 0
-    var active = 1L
+    var i = startIter
+    var active =
+      if (startIter == 0) 1L
+      else state.filter(col("received") && col("delta") > tol).count()
     while (active > 0) {
       i += 1
       val t0 = System.nanoTime()
       val senders = state.filter(col("received") && col("delta") > tol)
         .select(col("id"), col("delta").as("value"))
       val msgs = msgSums(g, senders, cfg.saltBuckets)
-      val next = state.join(msgs, state("id") === msgs("dst"), "left")
+      val msgSide = AdaptivePartitions.sideFor(msgs, g.numVertices)
+      val next = state.join(msgSide, state("id") === msgs("dst"), "left")
         .select(state("id"),
           when(col("msg").isNotNull, col("rank") + lit(1.0 - cfg.resetProb) * col("msg"))
             .otherwise(col("rank")).as("rank"),
           when(col("msg").isNotNull, lit(1.0 - cfg.resetProb) * col("msg"))
             .otherwise(col("delta")).as("delta"),
           col("msg").isNotNull.as("received"))
-      state = rotator.rotate(next, i)
+      state = rotator.rotate(next.coalesce(g.numPartitions), i)
       active = state.filter(col("received") && col("delta") > tol).count()
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(state, c, algo, i, Double.NaN, active,

@@ -23,14 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** (id, triangles) for every vertex of `edges`. */
+  /** (id, triangles) for every vertex of `edges`. The returned frame is
+    * materialized (persisted + counted) and all intermediate caches are
+    * released before returning — repeated calls leak nothing. */
   def run(edges: DataFrame): DataFrame = {
-    val canon = graft.graph.EdgeOps.canonicalize(edges).cache()
+    val spark = edges.sparkSession
+    val canon = graft.graph.EdgeOps.canonicalize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonRows = canon.count()
+    val p = graft.runtime.AdaptivePartitions.forRows(spark, canonRows)
 
     val deg = graft.graph.EdgeOps.degrees(canon)
     val dSrc = deg.select(col("id").as("src"), col("degree").as("sdeg"))
     val dDst = deg.select(col("id").as("dst"), col("degree").as("ddeg"))
-    val withDeg = canon.join(dSrc, "src").join(dDst, "dst")
+    val withDeg = canon
+      .join(graft.runtime.AdaptivePartitions.sideFor(dSrc, canonRows * 2), "src")
+      .join(graft.runtime.AdaptivePartitions.sideFor(dDst, canonRows * 2), "dst")
 
     // orient lo → hi by (degree, id); carry hi's (degree, id) rank so the
     // wedge pair can be ordered consistently with the orientation
@@ -40,7 +48,8 @@ object TriangleCount {
       when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("hi"),
       when(srcFirst, col("ddeg")).otherwise(col("sdeg")).as("hideg"))
-      .cache()
+      .coalesce(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oriented.count()
 
     // wedges at pivot a: out-neighbor pairs (b, c) with rank(b) < rank(c)
@@ -63,12 +72,19 @@ object TriangleCount {
     val out = graft.graph.EdgeOps.vertices(edges)
       .join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the intermediates
+    canon.unpersist(false)
+    oriented.unpersist(false)
     out
   }
 
-  /** Global triangle count (= Σ per-vertex / 3). */
+  /** Global triangle count (= Σ per-vertex / 3) — aggregates `run`'s
+    * materialized output (one shared pipeline, not a second full run). */
   def total(edges: DataFrame): Long = {
-    val r = run(edges).agg(sum("triangles")).first()
+    val perVertex = run(edges)
+    val r = perVertex.agg(sum("triangles")).first()
+    perVertex.unpersist(false)
     if (r.isNullAt(0)) 0L else r.getLong(0) / 3
   }
 }

@@ -26,14 +26,10 @@ final class PreparedGraph private (
     val spark: SparkSession,
     val adjacency: DataFrame,
     val vertices: DataFrame,
-    val numPartitions: Int) {
+    val numPartitions: Int,
+    val numEdges: Long) {
 
   lazy val numVertices: Long = vertices.count()
-  lazy val numEdges: Long =
-    adjacency.agg(sum(col("degree"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
 
   /** Flat (src, dst) view (parallel edges preserved). */
   def edges: DataFrame = adjacency.select(col("src"), explode(col("dsts")).as("dst"))
@@ -48,14 +44,15 @@ object PreparedGraph {
   /** One-time preparation: two shuffles (adjacency groupBy, vertex
     * distinct), both cached. The input plan is materialized once up front
     * so an expensive upstream (generator, join, extraction) isn't
-    * re-executed per derived structure. */
+    * re-executed per derived structure. Partition count defaults to
+    * |E|-proportional (AdaptivePartitions) so small graphs don't pay
+    * shuffle.partitions-task stages every superstep. */
   def apply(edgesDf: DataFrame, numPartitions: Int = 0): PreparedGraph = {
     val spark = edgesDf.sparkSession
-    val p = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edgesDf.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val edgeCount = e.count()
+    val p = graft.runtime.AdaptivePartitions.forRows(spark, edgeCount, numPartitions)
     val adj = e.groupBy("src")
       .agg(count(lit(1)).cast("long").as("degree"), collect_list(col("dst")).as("dsts"))
       .repartition(p, col("src"))
@@ -67,6 +64,6 @@ object PreparedGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count(); verts.count()
     e.unpersist(false)
-    new PreparedGraph(spark, adj, verts, p)
+    new PreparedGraph(spark, adj, verts, p, edgeCount)
   }
 }

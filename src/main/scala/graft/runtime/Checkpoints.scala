@@ -38,14 +38,19 @@ object Checkpoints {
     state.sparkSession.read.parquet(p)
   }
 
-  /** Latest complete snapshot (max superstep dir with a _SUCCESS marker). */
+  /** Latest complete snapshot (max superstep dir with a _SUCCESS marker).
+    * Listed through the Hadoop FileSystem of the checkpoint URI, so resume
+    * works on every scheme the writer supports (file://, hdfs://, s3a://),
+    * not just the local filesystem. */
   def latest(spark: SparkSession, cfg: CheckpointConfig, algo: String): Option[(Int, DataFrame)] = {
-    val base = new java.io.File(s"${cfg.dir}/${cfg.runId}/$algo")
-    if (!base.isDirectory) return None
-    val steps = base.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("superstep="))
-      .filter(f => new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("superstep=").toInt)
+    import org.apache.hadoop.fs.Path
+    val base = new Path(s"${cfg.dir}/${cfg.runId}/$algo")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    val steps = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("superstep="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("superstep=").toInt)
     if (steps.isEmpty) None
     else {
       val s = steps.max
@@ -149,6 +154,18 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     release()
     release = rel
     out
+  }
+
+  /** Take ownership of an externally-produced state frame (e.g. a resumed
+    * checkpoint snapshot): materialize it and register its release with
+    * the rotation chain, WITHOUT re-saving it over the directory it may
+    * have just been read from. */
+  def adopt(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    release()
+    release = () => p.unpersist(false): Unit
+    p
   }
 
   /** Hand ownership of the FINAL state to the caller: its blocks stay
