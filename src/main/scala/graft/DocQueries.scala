@@ -65,9 +65,12 @@ object DocQueries {
       |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
       |     FOR i IN range(1, len(t) - 1)]) END AS s FROM toks),
       | sh AS (SELECT doc_id, unnest(s) AS sg FROM sh0),
+      | freq AS (SELECT sg, count(*) AS f FROM sh GROUP BY sg),
+      | shf AS (SELECT sh.doc_id, sh.sg FROM sh JOIN freq USING (sg)
+      |   WHERE f <= 1000),
       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       | common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-      |   FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |   FROM shf a JOIN shf b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |   GROUP BY a.doc_id, b.doc_id)
       | SELECT ia, ib,
       |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
@@ -107,6 +110,44 @@ object DocQueries {
       |   (PARTITION BY qid ORDER BY d / (nx * ny) DESC, nid) AS rk FROM s)
       | SELECT qid, nid, round(cos, 5) AS cos FROM r WHERE rk <= 3""".stripMargin
 
+  // ------------------------------------------------------- quality + langid
+
+  /** Quality score + language ID — the SQL-expressible half of
+    * q_text_analysis, split out so it gets a real DuckDB oracle (the
+    * fingerprint column is xxhash64-based and stays engine-only). */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextStats.langId(col("text")).as("lang_pred"),
+      TextStats.qualityScore(col("text")).as("quality"))
+
+  val qTextQualitySql: String =
+    """WITH base AS (SELECT doc_id, text,
+      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   FROM documents),
+      | hits AS (SELECT doc_id, text, len(t) AS n,
+      |   CAST(len(list_filter(t, x -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(x)))) AS DOUBLE) AS en,
+      |   CAST(len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu','mit','den'], lower(x)))) AS DOUBLE) AS de,
+      |   CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','est','un','une','que','pour'], lower(x)))) AS DOUBLE) AS fr,
+      |   CAST(len(list_filter(t, x -> list_contains(['el','la','los','de','y','es','un','una','que','por'], lower(x)))) AS DOUBLE) AS es,
+      |   CAST(len(list_filter(t, x -> list_contains(['il','la','di','e','che','un','una','per','non','sono'], lower(x)))) AS DOUBLE) AS it
+      |   FROM base),
+      | scored AS (SELECT doc_id, n, en, de, fr, es, it,
+      |   greatest(en, de, fr, es, it) AS mx,
+      |   CASE WHEN length(text) = 0 THEN 0
+      |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |   CASE WHEN length(text) = 0 THEN 0
+      |     ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dig,
+      |   CASE WHEN n = 0 THEN 0 ELSE en / n END AS stopr
+      |   FROM hits)
+      | SELECT doc_id,
+      |  CASE WHEN mx <= 0 THEN 'und' WHEN en = mx THEN 'en' WHEN de = mx THEN 'de'
+      |    WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es' ELSE 'it' END AS lang_pred,
+      |  round((CASE WHEN n BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |    + (1.0 - least(1.0, punct * 4)) * 0.2
+      |    + (1.0 - least(1.0, dig * 4)) * 0.2
+      |    + least(1.0, stopr * 5) * 0.2, 6) AS quality
+      | FROM scored""".stripMargin
+
   // ----------------------------------------- engine-only (rows-only check)
 
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -114,8 +155,12 @@ object DocQueries {
       bands = 16, threshold = 0.5)
       .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** maxHamming = 3 is the Manku et al. WWW'07 near-dup operating point
+    * for 64-bit simhash — and the scale-safe one: 16-bit chunk keys keep
+    * the candidate join selective (h=8 on this corpus admits ~4% of ALL
+    * pairs — not a near-dup predicate). */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), maxHamming = 8)
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),

@@ -34,8 +34,27 @@ object DriverQueries {
 
   // ---------------------------------------------------------------- graphs
 
+  /** The two derived graphs are inputs to 10+ queries; when the driver
+    * runs them back-to-back in one session, re-deriving the same ≤1M-row
+    * edge table per query is pure waste. Memoize the MATERIALIZED frame
+    * per (kind, session, dir) — bounded: two small cached frames per
+    * testdata dir. */
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+
+  private def memoized(kind: String, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    graphMemo.getOrElseUpdate((kind, System.identityHashCode(spark), dir), {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Bipartite order graph, distinct edges. */
-  def orderGraph(spark: SparkSession, dir: String): DataFrame = {
+  def orderGraph(spark: SparkSession, dir: String): DataFrame =
+    memoized("order", spark, dir)(orderGraphPlan(spark, dir))
+
+  private def orderGraphPlan(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "orders").join(t(dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
@@ -50,7 +69,10 @@ object DriverQueries {
       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
   /** Per-nation customer ring with +1/+2 chords, canonical (src < dst). */
-  def ringGraph(spark: SparkSession, dir: String): DataFrame = {
+  def ringGraph(spark: SparkSession, dir: String): DataFrame =
+    memoized("ring", spark, dir)(ringGraphPlan(spark, dir))
+
+  private def ringGraphPlan(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")

@@ -30,6 +30,7 @@ object SparkEntry {
     // training-data pipeline ops
     "q_dedup_exact" -> (DocQueries.qDedupExact _),
     "q_doc_stats" -> (DocQueries.qDocStats _),
+    "q_text_quality" -> (DocQueries.qTextQuality _),
     "q_ngram_dupes" -> (DocQueries.qNgramDupes _),
     "q_emb_norms" -> (DocQueries.qEmbNorms _),
     "q_cosine_topk" -> (DocQueries.qCosineTopK _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_shortest_paths" -> DriverQueries.qShortestPathsSql,
     "q_dedup_exact" -> DocQueries.qDedupExactSql,
     "q_doc_stats" -> DocQueries.qDocStatsSql,
+    "q_text_quality" -> DocQueries.qTextQualitySql,
     "q_ngram_dupes" -> DocQueries.qNgramDupesSql,
     "q_emb_norms" -> DocQueries.qEmbNormsSql,
     "q_cosine_topk" -> DocQueries.qCosineTopKSql

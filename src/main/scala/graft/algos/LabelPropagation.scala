@@ -69,11 +69,11 @@ object LabelPropagation {
     for (step <- (startStep + 1) to cfg.maxSteps) {
       val t0 = System.nanoTime()
       // messages along both directions of every directed edge; the label
-      // state (≤ |V| rows) broadcasts when provably small, shuffled-hash
-      // joins at scale
-      val labelSide = AdaptivePartitions.sideFor(labels, numVertices)
+      // state (≤ |V| rows) shuffled-hash joins the cached adjacency (no
+      // per-superstep broadcast — a blocking driver job per step, measured
+      // slower; same rationale as PageRank.msgSums)
       def msgs(adj: DataFrame): DataFrame =
-        adj.join(labelSide, adj("src") === labels("id"))
+        adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
           .select(explode(col("dsts")).as("vid"), col("label"))
       val argmax = msgs(fwd).union(msgs(rev))
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -83,8 +83,7 @@ object LabelPropagation {
       // vertices with no incident messages keep their label (none here —
       // every vertex of an edge table has ≥1 incident edge — but keep the
       // coalesce for subgraph-restricted universes)
-      val argmaxSide = AdaptivePartitions.sideFor(argmax, numVertices)
-      val next = labels.join(argmaxSide, labels("id") === argmax("vid"), "left")
+      val next = labels.join(argmax.hint("SHUFFLE_HASH"), labels("id") === argmax("vid"), "left")
         .select(labels("id"), coalesce(col("new_label"), col("label")).as("label"))
       labels = rotator.rotate(next.coalesce(P), step)
       graft.runtime.Trace.log(

@@ -20,6 +20,8 @@ final case class CheckpointConfig(
     dir: String,
     runId: String,
     every: Int = 5,
+    /** Unused since rotation became uniformly localCheckpoint-based;
+      * retained so existing call sites keep compiling. */
     localEvery: Int = 2)
 
 object Checkpoints {
@@ -79,19 +81,6 @@ object Checkpoints {
     spark.read.parquet(logPath(cfg, algo))
 }
 
-/** Driver-side iteration hygiene shared by all iterative operators: rotate
-  * cached state each superstep, truncate lineage with a durable parquet
-  * checkpoint on the configured cadence. Unbounded lineage in a Dataset
-  * loop bloats the driver — this is the one concern Catalyst does not
-  * manage for us (SURVEY.md §4.1).
-  *
-  * Deliberately NO `localCheckpoint` here: its checkpointed RDD is not
-  * released by `Dataset.unpersist` (CacheManager doesn't track it), which
-  * leaks one |V|-sized block per superstep — measured as run-over-run
-  * degradation in ScalingBench. persist+count+unpersist(prev) keeps memory
-  * flat; the logical plan grows linearly with supersteps, which is fine at
-  * PageRank/CC iteration counts, and the durable checkpoint resets it.
-  */
 /** Per-superstep state rotation for iterative operators. Three concerns,
   * all measured failure modes, handled together (SURVEY.md §4.1):
   *  1. logical-plan growth — a superstep whose state feeds the next plan
@@ -106,8 +95,8 @@ object Checkpoints {
   *     CacheManager) → run-over-run degradation; we capture the internal
   *     RDD from the checkpointed plan and unpersist it explicitly when
   *     rotating past it.
-  * Durable parquet checkpoints (CheckpointConfig cadence) subsume all
-  * three AND give resume points.
+  * Durable parquet snapshots (CheckpointConfig cadence) are side-writes
+  * of the same materialized state AND give resume points.
   */
 final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
 
@@ -127,45 +116,41 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     () => h.foreach(_.unpersist(false))
   }
 
-  /** Plan/lineage truncation cadence: a cheap persist on in-between
-    * supersteps, a localCheckpoint every `localEvery` (growth between
-    * truncations is at most 2^localEvery for state-used-twice loops). */
-  private val localEvery = cfg.map(_.localEvery).getOrElse(2).max(1)
-
-  /** Materialize `next`, release the previous superstep's state. */
+  /** Materialize `next`, release the previous superstep's state.
+    *
+    * EVERY rotation is the same operation — an eager localCheckpoint
+    * (plan + lineage truncated to a LogicalRDD leaf) — and the durable
+    * parquet snapshot on the `every` cadence is a pure SIDE-WRITE of the
+    * already-materialized blocks, never a different in-run representation.
+    * Uniformity is a correctness property, not a style choice: mixing
+    * persist / parquet-reread / localCheckpoint rotations gives different
+    * leaf nodes (stats, partitioning metadata) to otherwise identical
+    * superstep plans, which can flip exchange/aggregation layout and
+    * perturb floating-point accumulation order — measured as a 1-ulp
+    * drift between a checkpointed and a plain run of the SAME iteration,
+    * breaking the resume-is-bit-identical contract. */
   def rotate(next: DataFrame, superstep: Int): DataFrame = {
-    val (out, rel) = cfg match {
-      case Some(c) if c.every > 0 && superstep % c.every == 0 =>
-        val saved = Checkpoints.save(next, c, algo, superstep) // plan+lineage reset
-        saved.persist(StorageLevel.MEMORY_AND_DISK)
-        saved.count()
-        (saved, () => saved.unpersist(false): Unit)
-      case _ if superstep % localEvery == 0 =>
-        val cp = next.localCheckpoint(true) // eager; truncates plan + lineage
-        (cp, internalRddRelease(cp))
-      case _ =>
-        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        // releasing an INTERMEDIATE persist by plan is safe: successors
-        // have strictly larger plans, and the final state is never
-        // released here (close() hands it to the caller)
-        (p, () => p.unpersist(false): Unit)
+    val cp = next.localCheckpoint(true) // eager; truncates plan + lineage
+    cfg.foreach { c =>
+      if (c.every > 0 && superstep % c.every == 0)
+        cp.write.mode(SaveMode.Overwrite)
+          .parquet(Checkpoints.stateDir(c, algo, superstep))
     }
     release()
-    release = rel
-    out
+    release = internalRddRelease(cp)
+    cp
   }
 
   /** Take ownership of an externally-produced state frame (e.g. a resumed
-    * checkpoint snapshot): materialize it and register its release with
-    * the rotation chain, WITHOUT re-saving it over the directory it may
-    * have just been read from. */
+    * checkpoint snapshot): materialize it EXACTLY like a rotation
+    * (localCheckpoint — see rotate's uniformity note) and register its
+    * release, WITHOUT re-saving it over the directory it may have just
+    * been read from. */
   def adopt(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    val cp = df.localCheckpoint(true)
     release()
-    release = () => p.unpersist(false): Unit
-    p
+    release = internalRddRelease(cp)
+    cp
   }
 
   /** Hand ownership of the FINAL state to the caller: its blocks stay

@@ -48,10 +48,14 @@ object Dedup {
     * inclusion-exclusion. Only pairs sharing ≥1 shingle are ever
     * materialized; `maxShingleFreq` drops degenerate stop-shingles that
     * would quadratically blow up a bucket (dropped shingles can only
-    * lower recall near the threshold — documented contract). */
+    * lower recall near the threshold — documented contract). The default
+    * cap of 1000 is deliberately NOT unbounded: one stop-shingle shared by
+    * f documents contributes f²/2 candidate pairs, so an uncapped join is
+    * quadratic in corpus size at web scale; pass 0 explicitly to disable
+    * for small trusted corpora. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShingleFreq: Int = 0): DataFrame = {
+      maxShingleFreq: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
     val filtered =
       if (maxShingleFreq <= 0) sh
@@ -113,50 +117,101 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
     // verify candidates with exact Jaccard over shingle sets
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
       .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
       .select(col("ia"), col("ib"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) result, then release the two intermediate
+    // localCheckpoints — their blocks are NOT CacheManager-tracked and
+    // would otherwise leak one shingle-table-sized block set per call
+    val out = verified.localCheckpoint(true)
+    releaseLocalCheckpoint(sh)
+    releaseLocalCheckpoint(banded)
+    out
   }
+
+  /** Unpersist a localCheckpoint's internal RDD blocks (Dataset.unpersist
+    * does not track them — measured run-over-run leak otherwise). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per bit position, sign of the
-    * ±1 vote sum of token hashes. Returns a LONG. */
+    * ±1 vote sum of token hashes. Returns a LONG.
+    *
+    * Single pass over the tokens: hash each token ONCE (`transform`), then
+    * one `aggregate` accumulating all 64 vote counters per token — not 64
+    * aggregate passes each re-hashing every token (the round-1 shape,
+    * measured as the q_simhash_pairs hot spot). */
   def simhash(text: Column): Column = {
-    val toks = TextStats.tokensWs(text)
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
-      val vote = aggregate(toks, lit(0L), (acc2, t) =>
-        acc2 + call_function("shiftright", xxhash64(t), j.cast("int"))
-          .bitwiseAND(1L) * 2L - 1L)
-      val bit = when(vote > 0, lit(1L)).otherwise(lit(0L))
-      acc.bitwiseOR(call_function("shiftleft", bit, j.cast("int")))
-    })
+    val hashes = transform(TextStats.tokensWs(text), t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
+        a + call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) * 2L - 1L))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * by the pigeonhole band trick: split the 64-bit hash into
-    * (maxHamming+1) chunks — any pair within distance shares ≥1 exact
-    * chunk; verify with bit_count(xor). */
+    * by the pigeonhole band trick, verified with bit_count(xor).
+    *
+    * Bucket-key selectivity is the scale story: candidates grow as
+    * n²·(buckets per doc)/2^(key bits), so narrow keys are quadratic
+    * death at corpus scale.
+    *  - maxHamming ≤ 3 (the Manku et al. WWW'07 operating point): split
+    *    into maxHamming+1 chunks of ≥16 bits — any pair within distance
+    *    shares ≥1 exact chunk.
+    *  - maxHamming > 3: single chunks would be < 16 bits wide, so band on
+    *    CHUNK PAIRS instead — split into k = maxHamming+2 chunks; ≤
+    *    maxHamming differing chunks leaves ≥2 equal, so every true pair
+    *    shares an exact (i, j, vᵢ, vⱼ) pair-bucket with a 2·(64/k)-bit
+    *    value key. C(k,2) buckets per doc, but never a 7-bit key. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nChunks = maxHamming + 1
-    val w = 64 / nChunks
+    require(maxHamming >= 0 && maxHamming <= 30, s"maxHamming=$maxHamming out of range")
+    // hash once, reused by both self-join sides and released after the
+    // (small) result is materialized
     val withSh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val chunked = withSh.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+      .localCheckpoint(true)
+    def chunksOf(k: Int, w: Int): Column =
+      transform(sequence(lit(0), lit(k - 1)),
         c => call_function("shiftrightunsigned", col("sh"), (c * w).cast("int"))
-          .bitwiseAND((1L << w) - 1))))
-      .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("cv"))
-    chunked.alias("x").join(chunked.alias("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          .bitwiseAND((1L << w) - 1))
+    val banded =
+      if (maxHamming <= 3) {
+        val k = maxHamming + 1
+        val w = 64 / k // ≥ 16 bits
+        withSh.select(col("id"), col("sh"), posexplode(chunksOf(k, w)))
+          .select(col("id"), col("sh"), col("pos").as("b"), col("col").as("v"))
+      } else {
+        val k = maxHamming + 2
+        val w = 64 / k
+        val chunks = chunksOf(k, w)
+        val combos = flatten(transform(sequence(lit(0), lit(k - 2)), i =>
+          transform(sequence(i + 1, lit(k - 1)), j =>
+            struct((i * k + j).as("b"),
+              (element_at(chunks, (i + 1).cast("int")) * (1L << w) +
+                element_at(chunks, (j + 1).cast("int"))).as("v")))))
+        withSh.select(col("id"), col("sh"), explode(combos).as("e"))
+          .select(col("id"), col("sh"), col("e.b").as("b"), col("e.v").as("v"))
+      }
+    val pairs = banded.alias("x").join(banded.alias("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("ia"), col("y.id").as("ib"),
         call_function("bit_count", col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val out = pairs.localCheckpoint(true)
+    releaseLocalCheckpoint(withSh)
+    out
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.algos.PageRank
+import graft.algos.{ConnectedComponents, LabelPropagation, PageRank}
 import graft.runtime.{CheckpointConfig, Checkpoints}
 
 /** North-rule resumability: jobs resume mid-iteration from the superstep
@@ -24,6 +24,50 @@ class ResumeSpec extends SparkTestBase {
     val full = PageRank.run(edges, PageRank.Config(numIter = 16, normalize = false))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(resumed == full) // bit-identical, not just allclose
+  }
+
+  test("tol-mode pagerank resumed from checkpoint is bit-identical") {
+    val edges = edgesDF(randomEdges(11, n = 80, m = 300))
+    val dir = java.nio.file.Files.createTempDirectory("resume_tol").toString
+    val ck = CheckpointConfig(dir, "tol1", every = 3)
+    // interrupted run converges and checkpoints along the way; resuming
+    // from its latest snapshot replays the identical tail
+    PageRank.run(edges, PageRank.Config(tol = Some(1e-3), checkpoint = Some(ck),
+      normalize = false))
+    val resumed = PageRank.run(edges, PageRank.Config(tol = Some(1e-3),
+      checkpoint = Some(ck), resume = true, normalize = false))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = PageRank.run(edges, PageRank.Config(tol = Some(1e-3), normalize = false))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(resumed == full)
+  }
+
+  test("connected components resumed from checkpoint is bit-identical") {
+    val edges = edgesDF(randomEdges(12, n = 100, m = 220))
+    val dir = java.nio.file.Files.createTempDirectory("resume_cc").toString
+    val ck = CheckpointConfig(dir, "cc1", every = 1)
+    val full = ConnectedComponents.run(edges,
+      ConnectedComponents.Config(checkpoint = Some(ck)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resumed = ConnectedComponents.run(edges,
+      ConnectedComponents.Config(checkpoint = Some(ck), resume = true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
+  }
+
+  test("label propagation resumed mid-run matches an uninterrupted run") {
+    val edges = edgesDF(randomEdges(13, n = 80, m = 240))
+    val dir = java.nio.file.Files.createTempDirectory("resume_lpa").toString
+    val ck = CheckpointConfig(dir, "lpa1", every = 2)
+    // interrupted at step 2 (snapshot), resume continues 3..4
+    LabelPropagation.run(edges, LabelPropagation.Config(maxSteps = 2,
+      checkpoint = Some(ck)))
+    val resumed = LabelPropagation.run(edges, LabelPropagation.Config(maxSteps = 4,
+      checkpoint = Some(ck), resume = true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = LabelPropagation.run(edges, LabelPropagation.Config(maxSteps = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
   }
 
   test("superstep log has per-partition rows and wall times") {

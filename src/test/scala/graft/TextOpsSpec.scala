@@ -46,6 +46,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash pair-banding (maxHamming > 3) finds all pairs the exact scan finds") {
+    // 40 docs: 8 clusters of near-identical templates + noise docs
+    import spark.implicits._
+    val d = (0 until 40).map { i =>
+      val base = s"cluster ${i % 8} shared template text about topic ${i % 8} " +
+        s"with common words repeated across documents in the same cluster"
+      (i.toLong, if (i < 32) base + s" variant token$i" else s"unique noise doc $i " + ("x" + i) * 5)
+    }.toDF("doc_id", "text")
+    val h = 6
+    val banded = Dedup.simhashPairs(d, maxHamming = h)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: all pairs with bit_count(xor) <= h over collected hashes
+    val hashes = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= h
+    } yield (ia, ib)).toSet
+    assert(banded == exact, s"banded ${banded.size} vs exact ${exact.size}")
+  }
+
   test("token counting and ratios are consistent") {
     import spark.implicits._
     val d = Seq((1L, "Hello, world! 42 times."), (2L, "")).toDF("doc_id", "text")
