@@ -38,11 +38,24 @@ object Bench {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // per-query timings over the driver's testdata
+    // per-query timings over the driver's testdata; a crashing query is
+    // recorded as an error string, never disguised as a fast run
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, dt) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      val (_, dt) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
+      }
       name -> dt
     }
+
+    // phase boundary: drop every cached frame the query phase left behind
+    // (memoized driver graphs included) so the headline measures the
+    // engine, not the residue of 20 queries in the same JVM
+    DriverQueries.clearMemo(spark)
+    spark.catalog.clearCache()
 
     // headline: PageRank on the baseline workload (graph prep timed
     // separately, as SynthBenchmark separates creation from run)
@@ -76,10 +89,18 @@ object Bench {
     val itersTo1e6 = graft.runtime.Checkpoints
       .readLog(spark, ck, "pagerank_tol").agg(max("superstep")).first().getInt(0)
 
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + prSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
+    // bare JSON as a stdout line AND a file copy — the driver parses
+    // whichever survives the launcher's log wrapping
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

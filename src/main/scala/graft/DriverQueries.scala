@@ -50,6 +50,14 @@ object DriverQueries {
       df
     })
 
+  /** Release the memoized graphs of `spark` (bench phase boundaries). */
+  def clearMemo(spark: SparkSession): Unit = {
+    val h = System.identityHashCode(spark)
+    graphMemo.keys.filter(_._2 == h).foreach { k =>
+      graphMemo.remove(k).foreach(_.unpersist(false))
+    }
+  }
+
   /** Bipartite order graph, distinct edges. */
   def orderGraph(spark: SparkSession, dir: String): DataFrame =
     memoized("order", spark, dir)(orderGraphPlan(spark, dir))
@@ -169,6 +177,44 @@ object DriverQueries {
        | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),$iters
        | SELECT id, round(rank * (SELECT count(*) FROM verts)
        |   / (SELECT sum(rank) FROM r$PrIters), 6) AS rank FROM r$PrIters""".stripMargin
+  }
+
+  // ------------------------------------- parallel personalized pagerank
+
+  val PprIters = 8
+  val PprSources = Seq(1L, 2L)
+
+  /** k personalized PageRanks at once, flattened to (id, pos, rank) for
+    * engine-portable comparison. */
+  def qPprPersonalized(spark: SparkSession, dir: String): DataFrame =
+    PageRank.runParallelPersonalized(ringGraph(spark, dir), PprSources,
+      numIter = PprIters)
+      .select(col("id"), posexplode(col("ranks")))
+      .select(col("id"), col("pos"), round(col("col"), 6).as("rank"))
+
+  def qPprPersonalizedSql: String = {
+    val iters = (1 to PprIters).map { i =>
+      s""" r$i AS (SELECT v.id, s.pos,
+         |  0.15 * (CASE WHEN v.id = s.sid THEN 1.0 ELSE 0.0 END)
+         |   + 0.85 * coalesce(m.msum, 0) AS rank
+         |  FROM verts v CROSS JOIN srcs s LEFT JOIN (
+         |    SELECT e.dst AS id, r.pos, sum(r.rank / d.n) AS msum
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |    JOIN deg d ON e.src = d.src GROUP BY e.dst, r.pos) m
+         |  ON v.id = m.id AND s.pos = m.pos)""".stripMargin
+    }.mkString(",")
+    s"""WITH edges AS ($ringGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | deg AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
+       | srcs(pos, sid) AS (SELECT 0, ${PprSources.head} UNION ALL
+       |   SELECT 1, ${PprSources(1)}),
+       | r0 AS (SELECT v.id, s.pos,
+       |   CASE WHEN v.id = s.sid THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank
+       |   FROM verts v CROSS JOIN srcs s),$iters,
+       | tot AS (SELECT pos, sum(rank) AS t FROM r$PprIters GROUP BY pos)
+       | SELECT r.id, CAST(r.pos AS INT) AS pos,
+       |  round(CASE WHEN t > 0 THEN r.rank / t ELSE r.rank END, 6) AS rank
+       | FROM r$PprIters r JOIN tot USING (pos)""".stripMargin
   }
 
   // ------------------------------------------------------------ components

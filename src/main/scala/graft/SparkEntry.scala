@@ -22,6 +22,7 @@ object SparkEntry {
     "q_degrees" -> (DriverQueries.qDegrees _),
     "q_adjacency" -> (DriverQueries.qAdjacency _),
     "q_pagerank" -> (DriverQueries.qPageRank _),
+    "q_ppr_personalized" -> (DriverQueries.qPprPersonalized _),
     "q_connected_components" -> (DriverQueries.qConnectedComponents _),
     "q_triangles" -> (DriverQueries.qTriangles _),
     "q_triangles_total" -> (DriverQueries.qTrianglesTotal _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q_degrees" -> DriverQueries.qDegreesSql,
     "q_adjacency" -> DriverQueries.qAdjacencySql,
     "q_pagerank" -> DriverQueries.qPageRankSql,
+    "q_ppr_personalized" -> DriverQueries.qPprPersonalizedSql,
     "q_connected_components" -> DriverQueries.qConnectedComponentsSql,
     "q_triangles" -> DriverQueries.qTrianglesSql,
     "q_triangles_total" -> DriverQueries.qTrianglesTotalSql,

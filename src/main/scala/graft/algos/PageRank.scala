@@ -217,6 +217,83 @@ object PageRank {
     (state.select("id", "rank"), rotator)
   }
 
+  /** Reference `runParallelPersonalizedPageRank` (spark-graphx 4.1.2):
+    * k personalized PageRanks computed in one pass, one per source.
+    * Returns (id, ranks: array<double>) with ranks aligned to `sources`.
+    *
+    * Relational shape: the k-vector state is kept FLAT as (id, pos, rank)
+    * rows — k·|V| rows, |E|·k message stream — so every superstep is the
+    * same two-small-exchange plan as scalar PageRank with k-fold rows, and
+    * sparsity in early supersteps (rank=0 rows don't send) comes free from
+    * a filter. The array<double> column materializes once at the end.
+    * Numerics are the reference's documented semantics: per-step new =
+    * (1-reset)·msgSum + reset·1[id=sources(pos)], dangling mass lost
+    * in-flight, final per-source normalization by column sum (reference
+    * SPARK-18847) — i.e. column pos equals `staticPersonalizedPageRank
+    * (sources(pos), numIter)`, which is how the differential test pins it.
+    *
+    * Deliberate delta, documented: the reference's OWN
+    * `runParallelPersonalizedPageRank` output does NOT equal its scalar
+    * personalized PageRank per column. Replaying its decompiled loop
+    * verbatim (same breeze ops, same outerJoinVertices) reproduces its
+    * output exactly and shows why: after the first incremental
+    * `outerJoinVertices`, updated non-source vertex vectors are never
+    * re-shipped to the replicated edge view, so superstep k≥2 messages
+    * carry only the source vertices' contributions (e.g. on a 4-vertex
+    * cycle, round-2 message sums omit every vertex that holds rank 0.425
+    * and demonstrably changed). We implement the specified fixed-point
+    * recurrence, not the replication artifact. */
+  def runParallelPersonalized(edges: DataFrame, sources: Seq[Long],
+      numIter: Int = 10, resetProb: Double = 0.15,
+      numPartitions: Int = 0): DataFrame = {
+    val g = PreparedGraph(edges, numPartitions)
+    try runParallelPersonalizedPrepared(g, sources, numIter, resetProb)
+    finally g.unpersist()
+  }
+
+  def runParallelPersonalizedPrepared(g: PreparedGraph, sources: Seq[Long],
+      numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    require(sources.nonEmpty, "at least one personalization source required")
+    val spark = g.spark
+    import spark.implicits._
+    val srcArr = array(sources.map(lit): _*)
+    val positions = sources.indices.map(_.toLong).toDF("pos")
+    val adj = g.adjacency
+    val rotator = new StateRotator(None, "ppr")
+
+    var state = g.vertices.crossJoin(broadcast(positions))
+      .select(col("id"), col("pos"),
+        when(col("id") === element_at(srcArr, (col("pos") + 1).cast("int")), 1.0)
+          .otherwise(0.0).as("rank"))
+    for (i <- 1 to numIter) {
+      val senders = state.filter(col("rank") =!= 0.0)
+        .select(col("id"), col("pos").as("spos"), col("rank"))
+      val msgs = adj.join(senders.hint("SHUFFLE_HASH"), adj("src") === senders("id"))
+        .select(explode(col("dsts")).as("dst"), col("spos"),
+          (col("rank") / col("degree")).as("contrib"))
+        .groupBy("dst", "spos").agg(sum("contrib").as("msg"))
+      val next = state.join(msgs.hint("SHUFFLE_HASH"),
+          state("id") === msgs("dst") && state("pos") === msgs("spos"), "left")
+        .select(state("id"), state("pos"),
+          (lit(1.0 - resetProb) * coalesce(col("msg"), lit(0.0)) +
+            when(state("id") === element_at(srcArr, (state("pos") + 1).cast("int")),
+              resetProb).otherwise(0.0)).as("rank"))
+      state = rotator.rotate(next.coalesce(g.numPartitions), i)
+    }
+    // reference tail: normalize each source's column to sum 1
+    val totals = state.groupBy(col("pos").as("tpos")).agg(sum("rank").as("t"))
+    val out = state.join(broadcast(totals), state("pos") === col("tpos"))
+      .select(col("id"), col("pos"),
+        when(col("t") > 0, col("rank") / col("t")).otherwise(col("rank")).as("rank"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("rank")))),
+        s => s.getField("rank")).as("ranks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rotator.close()
+    out
+  }
+
   private def resumeOrInit(spark: SparkSession, cfg: Config, algo: String,
       init: DataFrame): (Int, DataFrame) =
     (if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, algo)) else None)

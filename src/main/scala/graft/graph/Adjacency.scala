@@ -38,10 +38,12 @@ object Adjacency {
     adj.select(col("src"), explode(col("dsts")).as("dst"))
 
   /** Write clustered by degree bucket then source — the at-rest layout the
-    * north star asks for (locally parquet; Iceberg bucket/sort transforms
-    * on a real lakehouse). */
-  def write(adj: DataFrame, path: String, numPartitions: Int = 32): Unit =
-    adj.repartition(numPartitions, col("bucket"), col("src"))
-      .sortWithinPartitions("bucket", "src")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    * north star asks for. Routed through the TableIO seam: locally a
+    * bucket-partitioned parquet dir, on a lakehouse an Iceberg table
+    * partitioned by the degree band. */
+  def write(adj: DataFrame, ref: String, numPartitions: Int = 32): Unit =
+    graft.sources.TableIO.forSession(adj.sparkSession).write(
+      adj.repartition(numPartitions, col("bucket"), col("src"))
+        .sortWithinPartitions("bucket", "src"),
+      ref, clusterBy = Seq("bucket"))
 }

@@ -26,6 +26,14 @@ object EdgeOps {
       xxhash64(col("src_url")).as("src"),
       xxhash64(col("dst_url")).as("dst"))
 
+  /** Durable edge-table round-trip through the TableIO seam (parquet
+    * locally, Iceberg on a configured lakehouse). */
+  def writeEdges(e: DataFrame, ref: String): Unit =
+    graft.sources.TableIO.forSession(e.sparkSession).write(edges(e), ref)
+
+  def readEdges(spark: SparkSession, ref: String): DataFrame =
+    graft.sources.TableIO.forSession(spark).read(spark, ref).select(col("src"), col("dst"))
+
   /** Reference `Graph.reverse`. */
   def reverse(e: DataFrame): DataFrame =
     e.select(col("dst").as("src"), col("src").as("dst"))

@@ -132,4 +132,12 @@ object PageGen {
       Extract.textOfHtmlString(htmlStr).as("text"),
       lang.as("lang"))
   }
+
+  /** Persist a page table through the TableIO seam — the at-rest form the
+    * north star ingests (parquet locally, Iceberg on a lakehouse). */
+  def write(pages: DataFrame, ref: String): Unit =
+    graft.sources.TableIO.forSession(pages.sparkSession).write(pages, ref)
+
+  def read(spark: SparkSession, ref: String): DataFrame =
+    graft.sources.TableIO.forSession(spark).read(spark, ref)
 }

@@ -26,6 +26,8 @@ final case class CheckpointConfig(
 
 object Checkpoints {
 
+  import graft.sources.TableIO
+
   def stateDir(cfg: CheckpointConfig, algo: String, superstep: Int): String =
     s"${cfg.dir}/${cfg.runId}/$algo/superstep=$superstep"
 
@@ -33,30 +35,26 @@ object Checkpoints {
     s"${cfg.dir}/${cfg.runId}/$algo/_superstep_log"
 
   /** Persist a state snapshot for `superstep` and return the re-read frame
-    * (lineage truncated to a parquet scan). */
+    * (lineage truncated to a table scan). */
   def save(state: DataFrame, cfg: CheckpointConfig, algo: String, superstep: Int): DataFrame = {
-    val p = stateDir(cfg, algo, superstep)
-    state.write.mode(SaveMode.Overwrite).parquet(p)
-    state.sparkSession.read.parquet(p)
+    val spark = state.sparkSession
+    val io = TableIO.forSession(spark)
+    io.write(state, stateDir(cfg, algo, superstep))
+    io.read(spark, stateDir(cfg, algo, superstep))
   }
 
-  /** Latest complete snapshot (max superstep dir with a _SUCCESS marker).
-    * Listed through the Hadoop FileSystem of the checkpoint URI, so resume
-    * works on every scheme the writer supports (file://, hdfs://, s3a://),
-    * not just the local filesystem. */
+  /** Latest COMMITTED snapshot (max superstep child the TableIO impl
+    * lists as complete): parquet dirs with a _SUCCESS marker on any
+    * Hadoop-FS scheme, or atomic catalog tables on a lakehouse. */
   def latest(spark: SparkSession, cfg: CheckpointConfig, algo: String): Option[(Int, DataFrame)] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(s"${cfg.dir}/${cfg.runId}/$algo")
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(base)) return None
-    val steps = fs.listStatus(base).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("superstep="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("superstep=").toInt)
+    val io = TableIO.forSession(spark)
+    val stepRe = "superstep[=_]?(\\d+)".r
+    val steps = io.children(spark, s"${cfg.dir}/${cfg.runId}/$algo")
+      .collect { case stepRe(n) => n.toInt }
     if (steps.isEmpty) None
     else {
       val s = steps.max
-      Some((s, spark.read.parquet(stateDir(cfg, algo, s))))
+      Some((s, io.read(spark, stateDir(cfg, algo, s))))
     }
   }
 
@@ -74,11 +72,11 @@ object Checkpoints {
         lit(l1Delta).as("l1_delta"),
         lit(activeCount).as("active_count"),
         lit(wallMs).as("wall_ms"))
-    perPart.write.mode(SaveMode.Append).parquet(logPath(cfg, algo))
+    TableIO.forSession(state.sparkSession).append(perPart, logPath(cfg, algo))
   }
 
   def readLog(spark: SparkSession, cfg: CheckpointConfig, algo: String): DataFrame =
-    spark.read.parquet(logPath(cfg, algo))
+    TableIO.forSession(spark).read(spark, logPath(cfg, algo))
 }
 
 /** Per-superstep state rotation for iterative operators. Three concerns,
@@ -133,8 +131,8 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     val cp = next.localCheckpoint(true) // eager; truncates plan + lineage
     cfg.foreach { c =>
       if (c.every > 0 && superstep % c.every == 0)
-        cp.write.mode(SaveMode.Overwrite)
-          .parquet(Checkpoints.stateDir(c, algo, superstep))
+        graft.sources.TableIO.forSession(cp.sparkSession)
+          .write(cp, Checkpoints.stateDir(c, algo, superstep))
     }
     release()
     release = internalRddRelease(cp)
@@ -165,6 +163,16 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
   * truncated frame and a release thunk for ITS storage — call it only
   * once nothing derived-but-unmaterialized depends on the frame. */
 object IterationHygiene {
+
+  /** Unpersist a localCheckpoint's internal RDD blocks. `Dataset.unpersist`
+    * does not release them (they live outside the CacheManager) — the
+    * measured run-over-run leak; call this once nothing unmaterialized
+    * depends on the frame. */
+  def releaseLocal(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   def truncate(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = df.localCheckpoint(true)
     val h = cp.queryExecution.logical.collectFirst {

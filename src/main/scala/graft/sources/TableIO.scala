@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lakehouse-format seam for every durable read/write the engine does
+  * (page tables, edge tables, adjacency layouts, superstep checkpoints).
+  *
+  * The north star ingests Iceberg tables; this sandbox ships no Iceberg
+  * runtime jar, so the honest deliverable is the SEAM: all IO goes through
+  * this trait, the Parquet implementation is the tested local default, and
+  * the Iceberg implementation is written against only the generic
+  * DataSource V2 API (`spark.table`, `DataFrameWriterV2.using("iceberg")`)
+  * — it compiles with zero Iceberg imports and activates when a real
+  * deployment configures an Iceberg catalog.
+  *
+  * A `ref` is impl-interpreted: a filesystem path for [[ParquetTableIO]],
+  * a (sanitized) catalog table identifier for [[IcebergTableIO]].
+  */
+trait TableIO {
+
+  def read(spark: SparkSession, ref: String): DataFrame
+
+  /** Write (overwrite by default); `clusterBy` requests the at-rest
+    * clustering the impl supports (parquet: partitionBy dirs; iceberg:
+    * partitioned table columns). */
+  def write(df: DataFrame, ref: String, mode: SaveMode = SaveMode.Overwrite,
+      clusterBy: Seq[String] = Nil): Unit
+
+  def append(df: DataFrame, ref: String): Unit =
+    write(df, ref, SaveMode.Append)
+
+  def exists(spark: SparkSession, ref: String): Boolean
+
+  /** Names of COMMITTED immediate children of `ref` (sub-directories with
+    * a completeness marker / tables under the prefix) — checkpoint
+    * discovery is built on this, so a torn write must not be listed. */
+  def children(spark: SparkSession, ref: String): Seq[String]
+}
+
+object TableIO {
+
+  val ImplKey = "spark.graft.io"
+  val CatalogKey = "spark.graft.io.catalog"
+
+  /** Config-gated selection: `spark.graft.io=iceberg` (plus an Iceberg
+    * catalog configured under `spark.graft.io.catalog`) switches every
+    * engine IO path to catalog tables; default is the local parquet
+    * layout. */
+  def forSession(spark: SparkSession): TableIO =
+    spark.conf.get(ImplKey, "parquet") match {
+      case "iceberg" => new IcebergTableIO(spark.conf.get(CatalogKey, "iceberg"))
+      case _ => ParquetTableIO
+    }
+}
+
+/** Directory-per-table parquet layout on any Hadoop-FS scheme (file://,
+  * hdfs://, s3a://). Committed = Spark's _SUCCESS marker present. */
+object ParquetTableIO extends TableIO {
+
+  private def fsOf(spark: SparkSession, ref: String) = {
+    val p = new org.apache.hadoop.fs.Path(ref)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  override def read(spark: SparkSession, ref: String): DataFrame =
+    spark.read.parquet(ref)
+
+  override def write(df: DataFrame, ref: String, mode: SaveMode,
+      clusterBy: Seq[String]): Unit = {
+    val w = df.write.mode(mode)
+    (if (clusterBy.nonEmpty) w.partitionBy(clusterBy: _*) else w).parquet(ref)
+  }
+
+  override def exists(spark: SparkSession, ref: String): Boolean = {
+    val (fs, p) = fsOf(spark, ref)
+    fs.exists(p)
+  }
+
+  override def children(spark: SparkSession, ref: String): Seq[String] = {
+    val (fs, base) = fsOf(spark, ref)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+  }
+}
+
+/** Catalog-table impl for Iceberg (or any DSv2 catalog): refs map to
+  * `catalog.namespace.table` identifiers with path separators sanitized.
+  * Uses only generic Spark APIs — no Iceberg classes — so it is always
+  * compilable and fails fast at runtime if the catalog isn't configured.
+  * Iceberg commits are atomic, so every listed table is complete. */
+final class IcebergTableIO(catalog: String, namespace: String = "graft")
+    extends TableIO {
+
+  /** path-style ref → one table name: [/ =.-] and friends become '_'. */
+  private[graft] def tableName(ref: String): String =
+    ref.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  private def fq(ref: String): String = s"$catalog.$namespace.${tableName(ref)}"
+
+  override def read(spark: SparkSession, ref: String): DataFrame =
+    spark.table(fq(ref))
+
+  override def write(df: DataFrame, ref: String, mode: SaveMode,
+      clusterBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val w0 = df.writeTo(fq(ref)).using("iceberg")
+    val w = if (clusterBy.nonEmpty) w0.partitionedBy(col(clusterBy.head),
+      clusterBy.tail.map(col): _*) else w0
+    mode match {
+      case SaveMode.Append =>
+        if (!exists(df.sparkSession, ref)) w.create() else df.writeTo(fq(ref)).append()
+      case _ => w.createOrReplace()
+    }
+  }
+
+  override def exists(spark: SparkSession, ref: String): Boolean =
+    spark.catalog.tableExists(fq(ref))
+
+  override def children(spark: SparkSession, ref: String): Seq[String] = {
+    val prefix = tableName(ref) + "_"
+    spark.sql(s"SHOW TABLES IN $catalog.$namespace")
+      .select("tableName").collect().map(_.getString(0)).toSeq
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+  }
+}

@@ -41,6 +41,30 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("differential parallel personalized PageRank: each column equals " +
+      "the reference SCALAR personalized PageRank for that source") {
+    // The reference's own parallel variant diverges from its scalar
+    // personalized PageRank (stale replicated vertex view after the first
+    // incremental outerJoinVertices — see PageRank.runParallelPersonalized
+    // scaladoc), so the semantic oracle is the scalar API per source.
+    for (seed <- 50 to 52) {
+      val pairs = randomEdges(seed, n = 50, m = 160)
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val sources = verts.take(3)
+      val ours = PageRank.runParallelPersonalized(edgesDF(pairs), sources, numIter = 12)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val g = graphxOf(pairs)
+      sources.zipWithIndex.foreach { case (src, pos) =>
+        val theirs = g.staticPersonalizedPageRank(src, 12).vertices.collect().toMap
+        assert(ours.keySet == theirs.keySet, s"ppr seed=$seed vertex sets differ")
+        theirs.foreach { case (id, r) =>
+          assert(math.abs(ours(id)(pos) - r) < 1e-8,
+            s"ppr seed=$seed src=$src vertex $id: ${ours(id)(pos)} vs $r")
+        }
+      }
+    }
+  }
+
   test("differential connected components on 5 random graphs (+ union-find)") {
     for (seed <- 20 to 24) {
       // sparse → many components

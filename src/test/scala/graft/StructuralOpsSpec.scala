@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.{Adjacency, EdgeOps, Partitioners}
+import graft.graph.{Adjacency, EdgeOps, Partitioners, VertexOps}
 import graft.multimodal.MediaOps
 
 class StructuralOpsSpec extends SparkTestBase {
@@ -75,6 +75,43 @@ class StructuralOpsSpec extends SparkTestBase {
     val c = EdgeOps.edgeListFile(spark, p.toString, canonicalOrientation = true)
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(c.sorted.toSeq == Seq((1L, 3L), (1L, 3L), (2L, 5L)))
+  }
+
+  test("vertex ops: minus, diff, pickRandomVertex, filter") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val b = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("id", "v")
+    // minus: ids of a absent from b
+    assert(VertexOps.minus(a, b).select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // diff: entries of b (present in a) whose value changed
+    val d = VertexOps.diff(a, b).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(3L -> 31.0))
+    // pickRandomVertex: deterministic per seed, member of the set
+    val verts = EdgeOps.vertices(e)
+    val p1 = VertexOps.pickRandomVertex(verts, seed = 7)
+    val p2 = VertexOps.pickRandomVertex(verts, seed = 7)
+    assert(p1 == p2 && Set(1L, 2L, 3L, 4L, 5L).contains(p1))
+    assert(VertexOps.pickRandomVertex(verts, seed = 8) != p1 ||
+      VertexOps.pickRandomVertex(verts, seed = 9) != p1) // seeds vary the draw
+    // filter: drop self-loop-only vertices via a degree view, masked back
+    val filtered = VertexOps.filter(e,
+      preprocess = EdgeOps.removeSelfLoops,
+      epred = lit(true),
+      vpred = view => EdgeOps.outDegrees(view).filter(col("degree") >= 1).select("id"))
+    val fs = filtered.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(!fs.contains((4L, 4L)) && fs.contains((2L, 3L)))
+  }
+
+  test("denseDict assigns 0..n-1 by url order without a global single-task sort") {
+    import spark.implicits._
+    val urls = (0 until 500).map(i => f"https://host${i % 7}/p$i%03d").toDF("url")
+      .union(Seq("https://host0/p000").toDF("url")) // duplicate collapses
+    val dict = graft.ids.UrlDict.denseDict(urls, numPartitions = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = (0 until 500).map(i => f"https://host${i % 7}/p$i%03d").distinct.sorted
+    assert(dict.length == expected.length)
+    assert(dict.sortBy(_._1).map(_._2).toSeq == expected)
+    assert(dict.map(_._1).sorted.toSeq == expected.indices.map(_.toLong))
   }
 
   test("multimodal: batched stub decode is deterministic and total") {

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sources.{IcebergTableIO, ParquetTableIO, TableIO}
+
+/** The lakehouse seam: parquet impl round-trips (the local default) and
+  * the config gate + ref mapping for the Iceberg impl (no Iceberg runtime
+  * ships in this sandbox, so its catalog calls are exercised only up to
+  * the generic-API boundary). */
+class TableIOSpec extends SparkTestBase {
+
+  test("parquet impl: write/read round-trip, append, exists, children") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tio").toString
+    val io = ParquetTableIO
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+
+    assert(!io.exists(spark, s"$base/t1"))
+    io.write(df, s"$base/t1")
+    assert(io.exists(spark, s"$base/t1"))
+    assert(io.read(spark, s"$base/t1").count() == 2)
+
+    io.append(df.select(col("k") + 10 as "k", col("v")), s"$base/t1")
+    assert(io.read(spark, s"$base/t1").count() == 4)
+
+    // children lists only committed sub-tables
+    io.write(df, s"$base/parent/superstep=1")
+    io.write(df, s"$base/parent/superstep=2")
+    new java.io.File(s"$base/parent/superstep=3").mkdirs() // torn: no _SUCCESS
+    assert(ParquetTableIO.children(spark, s"$base/parent").toSet ==
+      Set("superstep=1", "superstep=2"))
+  }
+
+  test("parquet impl: clusterBy writes partitioned layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tio2").toString
+    val df = Seq((0, 1L), (0, 2L), (1, 3L)).toDF("bucket", "src")
+    ParquetTableIO.write(df, s"$base/adj", SaveMode.Overwrite, Seq("bucket"))
+    assert(new java.io.File(s"$base/adj/bucket=0").isDirectory)
+    assert(new java.io.File(s"$base/adj/bucket=1").isDirectory)
+    val back = ParquetTableIO.read(spark, s"$base/adj")
+    assert(back.count() == 3 && back.columns.toSet == Set("bucket", "src"))
+  }
+
+  test("checkpoint store goes through the seam (save + latest round-trip)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tio3").toString
+    val cfg = graft.runtime.CheckpointConfig(dir, "r1")
+    val st = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "rank")
+    graft.runtime.Checkpoints.save(st, cfg, "pr", 4)
+    graft.runtime.Checkpoints.save(st.withColumn("rank", col("rank") * 2), cfg, "pr", 8)
+    val Some((step, frame)) = graft.runtime.Checkpoints.latest(spark, cfg, "pr")
+    assert(step == 8)
+    assert(frame.agg(sum("rank")).first().getDouble(0) == 2.4)
+  }
+
+  test("config gate selects the impl; iceberg ref mapping is stable") {
+    assert(TableIO.forSession(spark) == ParquetTableIO)
+    val ice = new IcebergTableIO("lake")
+    assert(ice.tableName("/ck/run1/cc/superstep=3") == "ck_run1_cc_superstep_3")
+    assert(ice.tableName("a//b==c") == "a_b_c")
+  }
+}
