@@ -235,6 +235,126 @@ object DriverQueries {
        | SELECT id, CAST(min(lbl) AS BIGINT) AS component
        | FROM reach GROUP BY id""".stripMargin
 
+  // ------------------------------------------------------------------- scc
+
+  /** Directed graph with real cycles AND a large DAG fringe: per-nation
+    * supplier successor cycles (+1 and +2 hops, ids shifted into the order
+    * graph's supplier id space) union the bipartite order graph. SCCs =
+    * one per nation ring (component = min supplier id in the ring + 1M);
+    * every customer is a singleton the trim phase finalizes. */
+  def sccGraph(spark: SparkSession, dir: String): DataFrame =
+    memoized("scc", spark, dir)(sccGraphPlan(spark, dir))
+
+  private def sccGraphPlan(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    val r = t(dir, "supplier").select(
+      (col("s_suppkey").cast("long") + 1000000L).as("k"), col("s_nationkey").as("n"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy("s_nationkey")).as("cnt"))
+    val r1 = r.select(col("k").as("k1"), col("n").as("n1"), col("rn").as("rn1"), col("cnt").as("cnt1"))
+    val hop1 = r1.join(r, col("n") === col("n1") && col("rn") === pmod(col("rn1"), col("cnt1")) + 1)
+      .select(col("k1").as("src"), col("k").as("dst"))
+    val hop2 = r1.join(r, col("n") === col("n1") && col("rn") === pmod(col("rn1") + 1, col("cnt1")) + 1)
+      .select(col("k1").as("src"), col("k").as("dst"))
+    hop1.union(hop2).union(orderGraphPlan(spark, dir))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  private val sccGraphSql =
+    s"""SELECT DISTINCT src, dst FROM (
+       |  WITH sr AS (SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS k,
+       |     s_nationkey AS n,
+       |     row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn,
+       |     count(*) OVER (PARTITION BY s_nationkey) AS cnt FROM supplier)
+       |  SELECT r1.k AS src, r2.k AS dst FROM sr r1 JOIN sr r2
+       |    ON r1.n = r2.n AND r2.rn = (r1.rn % r1.cnt) + 1
+       |  UNION ALL
+       |  SELECT r1.k, r2.k FROM sr r1 JOIN sr r2
+       |    ON r1.n = r2.n AND r2.rn = ((r1.rn + 1) % r1.cnt) + 1
+       |  UNION ALL
+       |  $orderGraphSql
+       |) WHERE src <> dst""".stripMargin
+
+  def qScc(spark: SparkSession, dir: String): DataFrame =
+    graft.algos.StronglyConnectedComponents.run(sccGraph(spark, dir))
+
+  /** Independent oracle: full recursive transitive closure, then
+    * component = min over mutually-reachable partners (and self). */
+  val qSccSql: String =
+    s"""WITH RECURSIVE edges AS ($sccGraphSql),
+       | verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       | reach(a, b) AS (
+       |   SELECT src, dst FROM edges
+       |   UNION
+       |   SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       | mutual AS (SELECT r1.a AS id, r1.b AS o FROM reach r1
+       |   JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+       | SELECT v.id, CAST(least(v.id, coalesce(min(m.o), v.id)) AS BIGINT)
+       |   AS component
+       | FROM verts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id""".stripMargin
+
+  // ----------------------------------------------------------------- svd++
+
+  /** Bipartite customer→supplier rating edges (rating derived
+    * deterministically from the line number; parallel edges = repeat
+    * ratings, kept). */
+  private def ratingEdges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders").join(t(dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+        ((col("l_linenumber") % 5) + 1).cast("double").as("rating"))
+  }
+
+  private val ratingEdgesSql =
+    """SELECT CAST(o_custkey AS BIGINT) AS src,
+      | CAST(l_suppkey + 1000000 AS BIGINT) AS dst,
+      | CAST((l_linenumber % 5) + 1 AS DOUBLE) AS rating
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  /** Shared deterministic init factors; dot(v1, v2) mirrored into the SQL
+    * as a literal. */
+  private val SvdV1 = Array(0.1, 0.2)
+  private val SvdV2 = Array(0.3, 0.4)
+
+  /** SVD++ bias/norm/error plumbing under the driver's SQL oracle (the
+    * maxIters=0 path: init + clamped-prediction error pass — the SGD
+    * iteration algebra is pinned by the jar-differential and sequential-
+    * replica ScalaTests, which no SQL engine can independently express). */
+  def qSvdpp(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = graft.algos.SVDPlusPlus.run(ratingEdges(spark, dir),
+      graft.algos.SVDPlusPlus.Conf(rank = 2, maxIters = 0),
+      initFactors = Some((SvdV1, SvdV2)))
+    val out = state.select(col("id"), round(col("bias"), 6).as("bias"),
+      round(col("norm"), 6).as("norm"))
+    state.unpersist(false)
+    out
+  }
+
+  val qSvdppSql: String = {
+    val dot = SvdV1.zip(SvdV2).map { case (a, b) => a * b }.sum
+    s"""WITH redges AS ($ratingEdgesSql),
+       | mu AS (SELECT avg(rating) AS u FROM redges),
+       | inc AS (SELECT src AS id, rating FROM redges
+       |   UNION ALL SELECT dst, rating FROM redges),
+       | st AS (SELECT id, count(*) AS deg, avg(rating) AS ravg
+       |   FROM inc GROUP BY id),
+       | bias AS (SELECT id, ravg - (SELECT u FROM mu) AS b,
+       |   1.0/sqrt(deg) AS nrm FROM st),
+       | se AS (SELECT e.dst AS id,
+       |   power(e.rating - least(greatest(
+       |     (SELECT u FROM mu) + bs.b + bd.b + $dot, 0.0), 5.0), 2) AS s
+       |   FROM redges e JOIN bias bs ON e.src = bs.id
+       |   JOIN bias bd ON e.dst = bd.id),
+       | errs AS (SELECT id, sum(s) AS es FROM se GROUP BY id)
+       | SELECT b.id, round(b.b, 6) AS bias,
+       |  round(coalesce(e.es, b.nrm), 6) AS norm
+       | FROM bias b LEFT JOIN errs e ON b.id = e.id""".stripMargin
+  }
+
   // ------------------------------------------------------------- triangles
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame =

@@ -24,6 +24,8 @@ object SparkEntry {
     "q_pagerank" -> (DriverQueries.qPageRank _),
     "q_ppr_personalized" -> (DriverQueries.qPprPersonalized _),
     "q_connected_components" -> (DriverQueries.qConnectedComponents _),
+    "q_scc" -> (DriverQueries.qScc _),
+    "q_svdpp" -> (DriverQueries.qSvdpp _),
     "q_triangles" -> (DriverQueries.qTriangles _),
     "q_triangles_total" -> (DriverQueries.qTrianglesTotal _),
     "q_label_propagation" -> (DriverQueries.qLabelPropagation _),
@@ -51,6 +53,8 @@ object SparkEntry {
     "q_pagerank" -> DriverQueries.qPageRankSql,
     "q_ppr_personalized" -> DriverQueries.qPprPersonalizedSql,
     "q_connected_components" -> DriverQueries.qConnectedComponentsSql,
+    "q_scc" -> DriverQueries.qSccSql,
+    "q_svdpp" -> DriverQueries.qSvdppSql,
     "q_triangles" -> DriverQueries.qTrianglesSql,
     "q_triangles_total" -> DriverQueries.qTrianglesTotalSql,
     "q_label_propagation" -> DriverQueries.qLabelPropagationSql,

@@ -1,0 +1,222 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.EdgeOps
+import graft.runtime.{AdaptivePartitions, StateRotator}
+
+/** Strongly connected components of a directed graph — the last named
+  * algorithm of the reference surface (spark-graphx 4.1.2
+  * `lib.StronglyConnectedComponents`; SURVEY.md §2.4): every vertex is
+  * labeled with the LOWEST vertex id of its SCC. The reference exposes a
+  * `numIter` cap and may return early; we run the same phase structure to
+  * the exact fixed point (outer rounds capped by `maxOuterRounds` as a
+  * safety net, `require`-checked), so results equal the reference's at
+  * convergence.
+  *
+  * Same trim + forward-coloring + backward-confirmation decomposition as
+  * the reference (the classic FW-BW coloring scheme — Orzan '04,
+  * McLendon et al. '05), re-expressed as Dataset joins:
+  *
+  *  1. TRIM to fixed point: a vertex with no in-edge or no out-edge in the
+  *     remaining graph is its own SCC — drop it. Web graphs are largely
+  *     condensation-DAG, so trim alone finalizes most of the mass.
+  *  2. FORWARD coloring to fixed point: color(v) = min vertex id that
+  *     forward-reaches v. Delta-propagated: only vertices whose color
+  *     changed last step send messages (min-aggregation is monotone, so
+  *     the frontier restriction is lossless). Every color class then has
+  *     exactly one root r (color(r) = r), and all of r's SCC sits inside
+  *     r's class (any smaller-id path into the SCC would re-color r).
+  *  3. BACKWARD confirmation within each class, all classes concurrently:
+  *     v ∈ SCC(r) iff color(v) = r and v reaches r through same-color
+  *     vertices (intermediates of any v→r path provably carry color r).
+  *     Frontier BFS from the roots along reversed same-color edges.
+  *  4. Remove confirmed SCCs, repeat. Each round finalizes every root
+  *     SCC of the remaining condensation, so rounds are bounded by the
+  *     longest chain of SCCs, and the graph shrinks monotonically —
+  *     AdaptivePartitions re-sizes every rotated frame to what REMAINS,
+  *     so late rounds of a web-scale run cost small-graph money.
+  *
+  * Every iterated frame goes through StateRotator (localCheckpoint
+  * rotation: plan + lineage truncation, explicit block release); inner
+  * fixed points are detected via `Dataset.observe` metrics collected
+  * during the rotation's own materialization — no extra passes.
+  */
+object StronglyConnectedComponents {
+
+  final case class Config(
+      numPartitions: Int = 0,
+      /** Safety cap on outer trim/color/confirm rounds (each round
+        * finalizes ≥ 1 SCC chain layer; the cap only trips on adversarial
+        * SCC chains longer than this). */
+      maxOuterRounds: Int = 200)
+
+  /** (id, component) for every vertex appearing in `edges`;
+    * component = min vertex id of the vertex's SCC. */
+  def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rawRows = raw.count()
+    val pAll = AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions)
+    val allVerts = EdgeOps.vertices(raw).coalesce(pAll)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    allVerts.count()
+
+    val rotE = new StateRotator(None, "scc_edges")
+    val rotC = new StateRotator(None, "scc_colors")
+    val rotF = new StateRotator(None, "scc_final")
+    val rotConf = new StateRotator(None, "scc_confirmed")
+    val rotFr = new StateRotator(None, "scc_frontier")
+    var step = 0
+    def nextStep(): Int = { step += 1; step }
+
+    // self-loops never affect SCC membership; parallel edges collapse
+    var (e, eRows) = rotateCounted(rotE,
+      raw.filter(col("src") =!= col("dst")).distinct().coalesce(pAll), nextStep())
+    raw.unpersist(false)
+
+    // finalized (id, component) — grows by union, rotated so the plan
+    // never grows with it; vertices that simply fall out of the edge set
+    // are singleton SCCs and are labeled by the final coalesce instead
+    var finalized = rotF.adopt(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("component", "long")))
+
+    var round = 0
+    while (eRows > 0 && round < cfg.maxOuterRounds) {
+      round += 1
+      val t0 = System.nanoTime()
+
+      // ---- 1. trim to fixed point: keep only vertices with in AND out
+      var trimmed = true
+      while (trimmed && eRows > 0) {
+        val p = AdaptivePartitions.forRows(spark, eRows, cfg.numPartitions)
+        val srcs = e.select(col("src").as("id")).distinct()
+        val dsts = e.select(col("dst").as("id")).distinct()
+        val keep = srcs.join(dsts.hint("SHUFFLE_HASH"), Seq("id"), "left_semi")
+        val kept = e
+          .join(keep.select(col("id").as("ks")).hint("SHUFFLE_HASH"),
+            col("src") === col("ks"), "left_semi")
+          .join(keep.select(col("id").as("kd")).hint("SHUFFLE_HASH"),
+            col("dst") === col("kd"), "left_semi")
+        val (e2, n2) = rotateCounted(rotE, kept.coalesce(p), nextStep())
+        trimmed = n2 < eRows
+        e = e2; eRows = n2
+      }
+      if (eRows == 0) {
+        graft.runtime.Trace.log(f"scc round=$round trimmed-to-empty " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      } else {
+        val p = AdaptivePartitions.forRows(spark, eRows, cfg.numPartitions)
+
+        // ---- 2. forward min-color propagation, delta frontier
+        var colors = rotC.adopt(EdgeOps.vertices(e)
+          .select(col("id"), col("id").as("color"), lit(true).as("changed"))
+          .coalesce(p))
+        var changed = 1L
+        while (changed > 0) {
+          val senders = colors.filter(col("changed"))
+            .select(col("id").as("sid"), col("color").as("scolor"))
+          val msgs = e.join(senders.hint("SHUFFLE_HASH"), col("src") === col("sid"))
+            .groupBy(col("dst")).agg(min(col("scolor")).as("m"))
+          val next = colors.join(msgs.hint("SHUFFLE_HASH"),
+              colors("id") === msgs("dst"), "left")
+            .select(colors("id"),
+              least(colors("color"), coalesce(col("m"), colors("color"))).as("color"),
+              (col("m").isNotNull && col("m") < colors("color")).as("changed"))
+          val (c2, nChanged) = rotateObservedCount(rotC,
+            next.coalesce(p), nextStep(), col("changed"))
+          colors = c2; changed = nChanged
+        }
+
+        // ---- 3. backward confirmation within color classes (all roots
+        // at once): frontier BFS from roots along reversed same-color edges
+        val cSrc = colors.select(col("id").as("csid"), col("color").as("csc"))
+        val cDst = colors.select(col("id").as("cdid"), col("color").as("cdc"))
+        val ecolPlan = e
+          .join(cSrc.hint("SHUFFLE_HASH"), col("src") === col("csid"))
+          .join(cDst.hint("SHUFFLE_HASH"), col("dst") === col("cdid"))
+          .filter(col("csc") === col("cdc"))
+          .select(col("src"), col("dst"))
+        val ecol = ecolPlan.coalesce(p).persist(StorageLevel.MEMORY_AND_DISK)
+        ecol.count()
+
+        var confirmed = rotConf.adopt(
+          colors.filter(col("id") === col("color"))
+            .select(col("id"), col("color").as("component")).coalesce(p))
+        var frontier = rotFr.adopt(confirmed)
+        var frontierRows = 1L
+        while (frontierRows > 0) {
+          val grow = ecol.join(frontier.select(col("id").as("fid"),
+                col("component")).hint("SHUFFLE_HASH"),
+              col("dst") === col("fid"))
+            .select(col("src").as("id"), col("component")).distinct()
+            .join(confirmed.select(col("id")), Seq("id"), "left_anti")
+          val (f2, n2) = rotateCounted(rotFr, grow.coalesce(p), nextStep())
+          frontier = f2; frontierRows = n2
+          if (frontierRows > 0)
+            confirmed = rotConf.adopt(confirmed.union(frontier).coalesce(p))
+        }
+        ecol.unpersist(false)
+
+        // ---- 4. bank the confirmed SCCs, remove them from the graph
+        finalized = rotF.adopt(finalized.union(confirmed).coalesce(pAll))
+        val cf = confirmed.select(col("id"))
+        val remaining = e
+          .join(cf.select(col("id").as("rs")).hint("SHUFFLE_HASH"),
+            col("src") === col("rs"), "left_anti")
+          .join(cf.select(col("id").as("rd")).hint("SHUFFLE_HASH"),
+            col("dst") === col("rd"), "left_anti")
+        val (e3, n3) = rotateCounted(rotE, remaining.coalesce(p), nextStep())
+        e = e3; eRows = n3
+        graft.runtime.Trace.log(f"scc round=$round edges_left=$eRows " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    }
+    require(eRows == 0,
+      s"SCC did not converge within ${cfg.maxOuterRounds} outer rounds " +
+        s"($eRows edges remain) — raise maxOuterRounds")
+
+    // singleton SCCs (trimmed / never-confirmed vertices) label themselves
+    val out = allVerts
+      .join(finalized, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rotE.close(); rotC.close(); rotF.close(); rotConf.close(); rotFr.close()
+    allVerts.unpersist(false)
+    out
+  }
+
+  /** Rotate and return (frame, row count), the count collected by
+    * `observe` during the rotation's own materialization. */
+  private def rotateCounted(rot: StateRotator, next: DataFrame,
+      step: Int): (DataFrame, Long) = {
+    val (df, n) = rotateObservedCount(rot, next, step, lit(true))
+    (df, n)
+  }
+
+  /** Rotate and return (frame, count of rows where `pred`), via observe —
+    * zero extra passes; falls back to a direct count if the metric does
+    * not surface. */
+  private def rotateObservedCount(rot: StateRotator, next: DataFrame,
+      step: Int, pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val obs = Observation(s"scc_obs_$step")
+    val observed = next.observe(obs,
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("c"))
+    val rotated = rot.rotate(observed, step)
+    var tries = 0
+    while (tries < 40) {
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          return (rotated, row.getAs[Long]("c"))
+        case _ => Thread.sleep(25); tries += 1
+      }
+    }
+    (rotated, rotated.filter(pred).count())
+  }
+}

@@ -91,6 +91,147 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  /** In-memory Tarjan SCC oracle: id → min vertex id of its SCC. */
+  def tarjanScc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = pairs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val out = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val comp = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        do { w = stack.pop(); onStack -= w; comp += w } while (w != v)
+        val m = comp.min
+        comp.foreach(out(_) = m)
+      }
+    }
+    verts.foreach(v => if (!index.contains(v)) strongconnect(v))
+    out.toMap
+  }
+
+  test("differential SCC on 5 random graphs (+ Tarjan)") {
+    for (seed <- 60 to 64) {
+      // dense enough for multi-vertex SCCs, sparse enough for DAG fringe
+      val pairs = randomEdges(seed, n = 40, m = 90)
+      val ours = StronglyConnectedComponents.run(edgesDF(pairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val theirs = graphxOf(pairs).stronglyConnectedComponents(numIter = 50)
+        .vertices.collect().toMap
+      assert(ours == theirs, s"scc seed=$seed vs graphx")
+      assert(ours == tarjanScc(pairs), s"scc seed=$seed vs tarjan")
+    }
+  }
+
+  test("SCC fixtures: cycle chains, bridges, self-loops") {
+    // two 3-cycles joined by a one-way bridge + a tail + a self-loop
+    val pairs = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1),        // SCC {1,2,3}
+      (3, 10), (10, 11), (11, 12), (12, 10), // bridge into SCC {10,11,12}
+      (12, 20),                      // tail singleton 20
+      (30, 30),                      // self-loop singleton 30
+      (40, 41))                      // DAG pair
+    val ours = StronglyConnectedComponents.run(edgesDF(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ours == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L,
+      40L -> 40L, 41L -> 41L))
+  }
+
+  /** Pin the jar's one-time init draw: its `defaultF(rank)` is evaluated
+    * ONCE (fromEdges' by-value default) off the global scala.util.Random.
+    * The jar's FIRST run in a JVM consumes extra global-Random draws from
+    * lazy Spark machinery, so warm it up before seeding. */
+  def pinnedJarRun(ratings: Seq[(Long, Long, Double)], rank: Int, iters: Int)
+      : (Array[Double], Array[Double],
+         Map[org.apache.spark.graphx.VertexId, (Array[Double], Array[Double], Double, Double)],
+         Double) = {
+    import org.apache.spark.graphx.{Edge, lib => xlib}
+    val xconf = new xlib.SVDPlusPlus.Conf(rank, iters, 0.0, 5.0,
+      0.007, 0.007, 0.005, 0.015)
+    val warm = spark.sparkContext.parallelize(Seq(Edge(1L, 2L, 3.0)), 1)
+    xlib.SVDPlusPlus.run(warm, new xlib.SVDPlusPlus.Conf(2, 1, 0.0, 5.0,
+      0.007, 0.007, 0.005, 0.015))
+    scala.util.Random.setSeed(4242L)
+    val v1 = Array.fill(rank)(scala.util.Random.nextDouble())
+    val v2 = Array.fill(rank)(scala.util.Random.nextDouble())
+    scala.util.Random.setSeed(4242L)
+    val edgeRdd = spark.sparkContext.parallelize(
+      ratings.map { case (u, i, r) => Edge(u, i, r) }, 2)
+    val (xg, xu) = xlib.SVDPlusPlus.run(edgeRdd, xconf)
+    (v1, v2, xg.vertices.collect().toMap, xu)
+  }
+
+  def ourSvdMap(ratings: Seq[(Long, Long, Double)], rank: Int, iters: Int,
+      v1: Array[Double], v2: Array[Double])
+      : (Map[Long, (Seq[Double], Seq[Double], Double, Double)], Double) = {
+    import spark.implicits._
+    val (ours, u) = SVDPlusPlus.run(ratings.toDF("src", "dst", "rating"),
+      SVDPlusPlus.Conf(rank = rank, maxIters = iters),
+      initFactors = Some((v1, v2)))
+    val m = ours.collect().map { r =>
+      r.getLong(0) -> (r.getSeq[Double](1), r.getSeq[Double](2),
+        r.getDouble(3), r.getDouble(4))
+    }.toMap
+    ours.unpersist(false)
+    (m, u)
+  }
+
+  test("differential SVD++ vs jar, degree-1 matching graph: ALL slots " +
+      "exact over 3 iterations (the jar's broken y-merge can't fire)") {
+    val ratings = (1L to 10L).map(i => (i, 100L + i, ((i % 5) + 1).toDouble))
+    val rank = 4; val iters = 3
+    val (v1, v2, theirs, xu) = pinnedJarRun(ratings, rank, iters)
+    val (ours, u) = ourSvdMap(ratings, rank, iters, v1, v2)
+    assert(math.abs(u - xu) < 1e-12, s"mean $u vs $xu")
+    assert(ours.keySet == theirs.keySet.map(_.toLong))
+    theirs.foreach { case (id, (xp, xy, xb, xn)) =>
+      val (p, y, b, n) = ours(id)
+      xp.zip(p).foreach { case (a, bb) =>
+        assert(math.abs(a - bb) < 1e-8, s"factor id=$id: $a vs $bb") }
+      xy.zip(y).foreach { case (a, bb) =>
+        assert(math.abs(a - bb) < 1e-8, s"factor2 id=$id: $a vs $bb") }
+      assert(math.abs(xb - b) < 1e-8, s"bias id=$id: $xb vs $b")
+      assert(math.abs(xn - n) < 1e-8, s"norm id=$id: $xn vs $n")
+    }
+  }
+
+  test("differential SVD++ vs jar, general bipartite graph, 1 iteration: " +
+      "p/bias slots exact (correct-merge slots); y differs only by the " +
+      "jar's documented 2×-one-message merge bug") {
+    val dataRnd = new scala.util.Random(9)
+    val ratings = for {
+      u <- 1L to 12L; i <- 101L to 110L if dataRnd.nextDouble() < 0.4
+    } yield (u, i, (dataRnd.nextInt(5) + 1).toDouble)
+    val rank = 4
+    val (v1, v2, theirs, xu) = pinnedJarRun(ratings, rank, 1)
+    val (ours, u) = ourSvdMap(ratings, rank, 1, v1, v2)
+    assert(math.abs(u - xu) < 1e-12, s"mean $u vs $xu")
+    theirs.foreach { case (id, (xp, _, xb, _)) =>
+      val (p, _, b, _) = ours(id)
+      xp.zip(p).foreach { case (a, bb) =>
+        assert(math.abs(a - bb) < 1e-8, s"factor id=$id: $a vs $bb") }
+      assert(math.abs(xb - b) < 1e-8, s"bias id=$id: $xb vs $b")
+    }
+    // degree-1 vertices never hit the merge → their y slots agree too
+    val deg = ratings.flatMap(r => Seq(r._1, r._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    theirs.collect { case (id, (_, xy, _, _)) if deg(id) == 1 =>
+      xy.zip(ours(id)._2).foreach { case (a, bb) =>
+        assert(math.abs(a - bb) < 1e-8, s"deg-1 factor2 id=$id: $a vs $bb") }
+    }
+  }
+
   test("LPA matches in-memory synchronous oracle with smallest-label ties") {
     for (seed <- 40 to 42) {
       val pairs = randomEdges(seed, n = 30, m = 80)
