@@ -27,7 +27,6 @@ object ShortestPaths {
     e.count()
     val verts = graft.graph.EdgeOps.vertices(e)
 
-    val lm = landmarks.map(l => lit(l))
     // dist 0: each landmark to itself (restricted to existing vertices)
     var dists = verts.filter(col("id").isInCollection(landmarks))
       .select(col("id"), col("id").as("landmark"), lit(0).as("distance"))
