@@ -110,6 +110,25 @@ object DocQueries {
       |   (PARTITION BY qid ORDER BY d / (nx * ny) DESC, nid) AS rk FROM s)
       | SELECT qid, nid, round(cos, 5) AS cos FROM r WHERE rk <= 3""".stripMargin
 
+  /** Embedding-cosine near-dup pairs, exact baseline (threshold set to the
+    * synthetic corpus's similarity regime — max pairwise cosine ≈ 0.51).
+    * The LSH-bucketed scale path (`Similarity.cosineDupes`) is recall-
+    * tested against this in TextOpsSpec. */
+  def qEmbDupes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupesExact(embs(spark, dir), minCos = 0.4)
+      .select(col("ia"), col("ib"), round(col("cos"), 5).as("cos"))
+
+  val qEmbDupesSql: String =
+    """WITH flat AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |   unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      | s AS (SELECT ia, ib, sum(CAST(x AS DOUBLE) * y) AS d,
+      |   sqrt(sum(CAST(x AS DOUBLE) * x)) AS nx,
+      |   sqrt(sum(CAST(y AS DOUBLE) * y)) AS ny
+      |   FROM flat GROUP BY ia, ib)
+      | SELECT ia, ib, round(d / (nx * ny), 5) AS cos FROM s
+      | WHERE d / (nx * ny) >= 0.4""".stripMargin
+
   // ------------------------------------------------------- quality + langid
 
   /** Quality score + language ID — the SQL-expressible half of

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_ngram_dupes" -> (DocQueries.qNgramDupes _),
     "q_emb_norms" -> (DocQueries.qEmbNorms _),
     "q_cosine_topk" -> (DocQueries.qCosineTopK _),
+    "q_emb_dupes" -> (DocQueries.qEmbDupes _),
     // engine-only (no SQL-expressible oracle: xxhash64-based)
     "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
     "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_text_quality" -> DocQueries.qTextQualitySql,
     "q_ngram_dupes" -> DocQueries.qNgramDupesSql,
     "q_emb_norms" -> DocQueries.qEmbNormsSql,
-    "q_cosine_topk" -> DocQueries.qCosineTopKSql
+    "q_cosine_topk" -> DocQueries.qCosineTopKSql,
+    "q_emb_dupes" -> DocQueries.qEmbDupesSql
   )
 }

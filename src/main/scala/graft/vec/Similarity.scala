@@ -71,13 +71,57 @@ object Similarity {
         .select(col(id), col(vec), col("pos").as("table"), col("col").as("bucket"))
     val c = bucketed(corpus, "nid", "nv")
     val q = bucketed(queries, "qid", "qv")
-    val cand = q.join(c, Seq("table", "bucket"))
+    // dedup multi-table candidate hits on the ID PAIR only, then rejoin
+    // the vectors once — distinct() over full embedding arrays would
+    // shuffle every candidate's vectors (VERDICT r01)
+    val cand = q.select(col("table"), col("bucket"), col("qid"))
+      .join(c.select(col("table"), col("bucket"), col("nid")), Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"))
-      .distinct()
-    val scored = cand.select(col("qid"), col("nid"),
-      cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every (ia < ib) with
+    * cosine ≥ minCos. All-pairs — the correctness baseline / oracle path
+    * only; use [[cosineDupes]] at scale. */
+  def cosineDupesExact(corpus: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("ia"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: candidates must share
+    * a random-hyperplane LSH bucket in ≥1 of `tables` tables (equi-join,
+    * never a cross join), then exact cosine verification — same
+    * candidate-generation shape as MinHash-LSH text dedup. Recall grows
+    * with tables and shrinks with bits; cos ≥ minCos pairs whose vectors
+    * disagree on every table's sign-bits are missed (tune tables/bits to
+    * the corpus's similarity regime). */
+  def cosineDupes(corpus: DataFrame, minCos: Double, bits: Int = 8,
+      tables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vecCol), bits, t)): _*)))
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val l = bucketed.select(col("table"), col("bucket"), col("id").as("ia"))
+    val r = bucketed.select(col("table"), col("bucket"), col("id").as("ib"))
+    val cand = l.join(r, Seq("table", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    cand
+      .join(corpus.select(col(idCol).as("ia"), col(vecCol).as("va")), Seq("ia"))
+      .join(corpus.select(col(idCol).as("ib"), col(vecCol).as("vb")), Seq("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 }

@@ -114,4 +114,29 @@ class TextOpsSpec extends SparkTestBase {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall $recall")
   }
+
+  test("embedding near-dup pairs: LSH path recalls ≥ 0.9 of exact on " +
+      "planted near-duplicates, with zero false positives") {
+    import spark.implicits._
+    // 40 random base vectors + a perturbed near-copy of each → 40 planted
+    // near-dup pairs with cos ≈ 0.995, everything else far apart
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base.toSeq), (1000L + i, near.toSeq))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosineDupesExact(vecs, minCos = 0.9))
+    assert(exact.size == 40, s"expected 40 planted pairs, got ${exact.size}")
+    val approx = pairSet(Similarity.cosineDupes(vecs, minCos = 0.9,
+      bits = 8, tables = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup LSH recall $recall")
+    // exact verification step ⇒ no false positives by construction
+    assert((approx -- exact).isEmpty)
+  }
 }
