@@ -129,6 +129,47 @@ object DocQueries {
       | SELECT ia, ib, round(d / (nx * ny), 5) AS cos FROM s
       | WHERE d / (nx * ny) >= 0.4""".stripMargin
 
+  /** IVF ANN with a FIXED deterministic coarse quantizer (cells = the
+    * first 8 vectors by id) so the whole path — cell assignment, probe
+    * selection, in-cell exact re-rank — is independently SQL-expressible.
+    * The spherical-k-means trainer is covered by ScalaTest recall tests
+    * (not SQL-expressible: iterative float argmax). */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    graft.vec.IVF.topK(e, e.filter(col("vec_id") < 10), cents,
+      k = 3, nProbe = 2)
+      .select(col("qid"), col("nid"), round(col("cos"), 5).as("cos"))
+  }
+
+  val qIvfTopKSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |   WHERE vec_id < 8),
+      | aflat AS (SELECT e.vec_id AS nid, c.cid,
+      |   unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |   FROM embeddings e JOIN c ON true),
+      | ascore AS (SELECT nid, cid, sum(CAST(x AS DOUBLE) * y) /
+      |   (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(CAST(y AS DOUBLE) * y)))
+      |   AS cos FROM aflat GROUP BY nid, cid),
+      | cells AS (SELECT nid, cid FROM (SELECT nid, cid, row_number() OVER
+      |   (PARTITION BY nid ORDER BY cos DESC, cid) AS rk FROM ascore)
+      |   WHERE rk = 1),
+      | probes AS (SELECT qid, cid FROM (SELECT nid AS qid, cid,
+      |   row_number() OVER (PARTITION BY nid ORDER BY cos DESC, cid) AS rk
+      |   FROM ascore WHERE nid < 10) WHERE rk <= 2),
+      | cflat AS (SELECT p.qid, ce.nid,
+      |   unnest(q.embedding) AS x, unnest(n.embedding) AS y
+      |   FROM probes p JOIN cells ce ON p.cid = ce.cid AND ce.nid <> p.qid
+      |   JOIN embeddings q ON q.vec_id = p.qid
+      |   JOIN embeddings n ON n.vec_id = ce.nid),
+      | cscore AS (SELECT qid, nid, sum(CAST(x AS DOUBLE) * y) /
+      |   (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(CAST(y AS DOUBLE) * y)))
+      |   AS cos FROM cflat GROUP BY qid, nid)
+      | SELECT qid, nid, round(cos, 5) AS cos FROM (SELECT qid, nid, cos,
+      |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |   FROM cscore) WHERE rk <= 3""".stripMargin
+
   // ------------------------------------------------------- quality + langid
 
   /** Quality score + language ID — the SQL-expressible half of

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_emb_norms" -> (DocQueries.qEmbNorms _),
     "q_cosine_topk" -> (DocQueries.qCosineTopK _),
     "q_emb_dupes" -> (DocQueries.qEmbDupes _),
+    "q_ivf_topk" -> (DocQueries.qIvfTopK _),
     // engine-only (no SQL-expressible oracle: xxhash64-based)
     "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
     "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_ngram_dupes" -> DocQueries.qNgramDupesSql,
     "q_emb_norms" -> DocQueries.qEmbNormsSql,
     "q_cosine_topk" -> DocQueries.qCosineTopKSql,
-    "q_emb_dupes" -> DocQueries.qEmbDupesSql
+    "q_emb_dupes" -> DocQueries.qEmbDupesSql,
+    "q_ivf_topk" -> DocQueries.qIvfTopKSql
   )
 }

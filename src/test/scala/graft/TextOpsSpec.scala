@@ -139,4 +139,38 @@ class TextOpsSpec extends SparkTestBase {
     // exact verification step ⇒ no false positives by construction
     assert((approx -- exact).isEmpty)
   }
+
+  test("IVF: spherical k-means recovers planted clusters; probed top-k " +
+      "recalls ≥ 0.9 of exact; nProbe = k is exact") {
+    import spark.implicits._
+    // 6 well-separated cluster centers, 30 members each
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    val rows = (0 until 180).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding").cache()
+    val cents = graft.vec.IVF.trainCentroids(vecs, k = 6, iters = 8, seed = 1L)
+    // every trained cell is used, and members of one planted cluster land
+    // in one cell (cluster purity = quantizer recovered the structure)
+    val cells = graft.vec.IVF.assignCells(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.toSet.size == 6, "trained cells collapsed")
+    (0 until 6).foreach { m =>
+      val members = (0 until 180).filter(_ % 6 == m).map(i => cells(i.toLong))
+      assert(members.toSet.size == 1, s"planted cluster $m split across cells")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = vecs.filter(col("vec_id") < 12)
+    val exact = pairs(Similarity.bruteForceTopK(vecs, q, 5))
+    val ivf2 = pairs(graft.vec.IVF.topK(vecs, q, cents, 5, nProbe = 2))
+    val recall = (exact & ivf2).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall at nProbe=2")
+    val ivfAll = pairs(graft.vec.IVF.topK(vecs, q, cents, 5, nProbe = 6))
+    assert(ivfAll == exact, "nProbe = k must equal exact top-k")
+    vecs.unpersist()
+  }
 }
