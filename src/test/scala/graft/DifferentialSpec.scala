@@ -133,6 +133,25 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("SCC extremes: giant SCC (dense) and long chain-of-cycles (sparse, " +
+      "many outer rounds) vs Tarjan") {
+    // dense: one giant SCC plus stragglers
+    val dense = randomEdges(70, n = 25, m = 200)
+    val oursD = StronglyConnectedComponents.run(edgesDF(dense))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oursD == tarjanScc(dense), "dense scc vs tarjan")
+    // chain of 6 three-cycles linked tail-to-head: each outer round can
+    // only finalize the chain's current head SCC → exercises multi-round
+    val chain = (0 until 6).flatMap { c =>
+      val b = c * 10L
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b), (b + 2, b + 10))
+    }.dropRight(1)
+    val oursC = StronglyConnectedComponents.run(edgesDF(chain))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oursC == tarjanScc(chain), "chain scc vs tarjan")
+    assert(oursC(51L) == 50L && oursC(0L) == 0L)
+  }
+
   test("SCC fixtures: cycle chains, bridges, self-loops") {
     // two 3-cycles joined by a one-way bridge + a tail + a self-loop
     val pairs = Seq[(Long, Long)](
