@@ -36,7 +36,7 @@ object IVF {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val unit = corpus.select(col(idCol).as("id"),
-        normalized(col(vecCol)).as("v"))
+        Similarity.normalized(col(vecCol)).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     unit.count()
     // farthest-point seed ids (driver holds k ids — never the vectors)
@@ -69,7 +69,7 @@ object IVF {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mv"))
-        .select(col("cid"), normalized(col("mv")).as("cv"))
+        .select(col("cid"), Similarity.normalized(col("mv")).as("cv"))
       // keep previous centroid for cells that lost every member
       val next = cents.select(col("cid"), col("cv").as("prev"))
         .join(means, Seq("cid"), "left")
@@ -83,13 +83,16 @@ object IVF {
   }
 
   /** Nearest centroid (by cosine) per vector: (id, cid). One broadcast
-    * cross-score + max_by — the index build. */
+    * cross-score + max_by — the index build. Both sides normalized once
+    * (cosine of units = dot), so each of the n×k scorings is a single
+    * array pass. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+    vectors.select(col(idCol).as("id"), Similarity.normalized(col(vecCol)).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"),
+        Similarity.normalized(col("cv")).as("ncv"))))
       .select(col("id"),
-        struct(Similarity.cosine(col("v"), col("cv")).as("cos"),
+        struct(Similarity.dot(col("v"), col("ncv")).as("cos"),
           (-col("cid")).as("ncid")).as("sc"), col("cid"))
       .groupBy("id")
       .agg(max_by(col("cid"), col("sc")).as("cid"))
@@ -103,13 +106,16 @@ object IVF {
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = assignCells(corpus, centroids, idCol, vecCol)
-    val corpusCells = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val corpusCells = corpus.select(col(idCol).as("nid"),
+        Similarity.normalized(col(vecCol)).as("nv"))
       .join(cells.select(col("id").as("nid"), col("cid")), Seq("nid"))
     val probeW = Window.partitionBy("qid").orderBy(desc("pcos"), asc("cid"))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+    val probes = queries.select(col(idCol).as("qid"),
+        Similarity.normalized(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(centroids.select(col("cid"),
+        Similarity.normalized(col("cv")).as("ncv"))))
       .select(col("qid"), col("qv"), col("cid"),
-        Similarity.cosine(col("qv"), col("cv")).as("pcos"))
+        Similarity.dot(col("qv"), col("ncv")).as("pcos"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("qid"), col("qv"), col("cid"))
@@ -117,12 +123,7 @@ object IVF {
     probes.join(corpusCells, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qv"), col("nv")).as("cos"))
+        Similarity.dot(col("qv"), col("nv")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
-
-  private def normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val n = Similarity.l2Norm(v)
-    transform(v, x => x.cast("double") / n)
   }
 }
