@@ -91,35 +91,6 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
-  /** In-memory Tarjan SCC oracle: id → min vertex id of its SCC. */
-  def tarjanScc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
-    val adj = pairs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
-    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val index = scala.collection.mutable.Map[Long, Int]()
-    val low = scala.collection.mutable.Map[Long, Int]()
-    val onStack = scala.collection.mutable.Set[Long]()
-    val stack = scala.collection.mutable.Stack[Long]()
-    val out = scala.collection.mutable.Map[Long, Long]()
-    var counter = 0
-    def strongconnect(v: Long): Unit = {
-      index(v) = counter; low(v) = counter; counter += 1
-      stack.push(v); onStack += v
-      adj.getOrElse(v, Nil).foreach { w =>
-        if (!index.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
-        else if (onStack(w)) low(v) = math.min(low(v), index(w))
-      }
-      if (low(v) == index(v)) {
-        val comp = scala.collection.mutable.Buffer[Long]()
-        var w = -1L
-        do { w = stack.pop(); onStack -= w; comp += w } while (w != v)
-        val m = comp.min
-        comp.foreach(out(_) = m)
-      }
-    }
-    verts.foreach(v => if (!index.contains(v)) strongconnect(v))
-    out.toMap
-  }
-
   test("differential SCC on 5 random graphs (+ Tarjan)") {
     for (seed <- 60 to 64) {
       // dense enough for multi-vertex SCCs, sparse enough for DAG fringe

@@ -28,6 +28,35 @@ trait SparkTestBase extends AnyFunSuite {
     pairs.toDF("src", "dst")
   }
 
+  /** In-memory Tarjan SCC oracle: id → min vertex id of its SCC. */
+  def tarjanScc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = pairs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val out = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val comp = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        do { w = stack.pop(); onStack -= w; comp += w } while (w != v)
+        val m = comp.min
+        comp.foreach(out(_) = m)
+      }
+    }
+    verts.foreach(v => if (!index.contains(v)) strongconnect(v))
+    out.toMap
+  }
+
   /** In-memory union-find CC oracle: id → min reachable id (undirected). */
   def unionFindCC(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
