@@ -36,8 +36,11 @@ import graft.runtime.{AdaptivePartitions, StateRotator}
   * dropping the other entirely — so for any vertex receiving >1 message
   * the reference's applied y-update is 2× whichever message its
   * (partition-order-dependent) reduce happened to end on: nondeterministic
-  * run-to-run. The p and bias slots merge correctly (verified: they match
-  * the jar exactly under a pinned init). We implement the specified sum —
+  * run-to-run. Demonstrated empirically in SVDPlusPlusSpec ("the jar's
+  * y-merge doubles ONE message"): on a two-rating user the jar's y equals
+  * p̃ + 2·(one message), never the sum. The p and bias slots merge
+  * correctly (verified: they match the jar exactly under a pinned init).
+  * We implement the specified sum —
   * what the paper and the reference's own update formulas intend — which
   * equals the reference exactly wherever its bug can't fire (vertices
   * with one incident edge; see the degree-1 differential test).

@@ -110,6 +110,51 @@ class SVDPlusPlusSpec extends SparkTestBase {
     ours.unpersist(false)
   }
 
+  test("the jar's y-merge doubles ONE message instead of summing both — " +
+      "the documented delta, demonstrated empirically") {
+    import org.apache.spark.graphx.{Edge, lib => xlib}
+    // one user with exactly two ratings: the y-update aggregation for the
+    // user merges exactly two messages, so the decompiled merge bug
+    // (g2._2 + g2._2, dropping g1._2) is isolated and observable
+    val ratings = Seq((1L, 101L, 4.0), (1L, 102L, 2.0))
+    val rank = 2
+    val warm = spark.sparkContext.parallelize(Seq(Edge(7L, 8L, 3.0)), 1)
+    xlib.SVDPlusPlus.run(warm, new xlib.SVDPlusPlus.Conf(2, 1, 0.0, 5.0,
+      0.007, 0.007, 0.005, 0.015))
+    scala.util.Random.setSeed(99L)
+    val v1 = Array.fill(rank)(scala.util.Random.nextDouble())
+    val v2 = Array.fill(rank)(scala.util.Random.nextDouble())
+    scala.util.Random.setSeed(99L)
+    val (xg, _) = xlib.SVDPlusPlus.run(
+      spark.sparkContext.parallelize(ratings.map { case (s, d, r) => Edge(s, d, r) }, 2),
+      new xlib.SVDPlusPlus.Conf(rank, 1, 0.0, 5.0, 0.007, 0.007, 0.005, 0.015))
+    val jarY1 = xg.vertices.collect().toMap.apply(1L)._2
+
+    // replica quantities for the same pinned init (specified semantics)
+    val (g2c, g7) = (0.007, 0.015)
+    val u = ratings.map(_._3).sum / ratings.size
+    val bias = Map(1L -> (3.0 - u), 101L -> (4.0 - u), 102L -> (2.0 - u))
+    val n1 = 1.0 / math.sqrt(2)
+    val pt1 = v1.zip(v2.zip(v2).map(x => x._1 + x._2)).map(x => x._1 + n1 * x._2)
+    def updY(r: Double, itm: Long): Array[Double] = {
+      var pred = u + bias(1L) + bias(itm) + v1.zip(pt1).map(x => x._1 * x._2).sum
+      pred = math.min(math.max(pred, 0.0), 5.0)
+      val err = r - pred
+      v1.zip(v2).map { case (q, y) => err * n1 * g2c * q - g7 * g2c * y }
+    }
+    val y1 = updY(4.0, 101L); val y2 = updY(2.0, 102L)
+    def close(a: Array[Double], b: Array[Double]) =
+      a.zip(b).forall(x => math.abs(x._1 - x._2) < 1e-10)
+    val summed = pt1.zip(y1.zip(y2).map(x => x._1 + x._2)).map(x => x._1 + x._2)
+    val doubled1 = pt1.zip(y1.map(_ * 2)).map(x => x._1 + x._2)
+    val doubled2 = pt1.zip(y2.map(_ * 2)).map(x => x._1 + x._2)
+    assert(!close(jarY1.toArray, summed),
+      "jar y unexpectedly equals the specified sum — merge bug gone?")
+    assert(close(jarY1.toArray, doubled1) || close(jarY1.toArray, doubled2),
+      s"jar y ${jarY1.mkString(",")} is neither 2×msg1 ${doubled1.mkString(",")} " +
+        s"nor 2×msg2 ${doubled2.mkString(",")}")
+  }
+
   test("training reduces RMSE and the default seeded init is deterministic") {
     import spark.implicits._
     val df = ratings.toDF("src", "dst", "rating")
