@@ -391,8 +391,12 @@ object DriverQueries {
     * low-id vertices have real multi-hop forward paths to these. */
   val SpLandmarks = Seq(147L, 148L, 149L)
 
+  /** Runs on the generic Pregel combinator (the reference's own map-attr
+    * formulation; `ShortestPaths.runPregel`) — differentially pinned equal
+    * to the long-format fast path `ShortestPaths.run` in
+    * AggregateMessagesSpec, and measured equal-cost on this workload. */
   def qShortestPaths(spark: SparkSession, dir: String): DataFrame =
-    graft.algos.ShortestPaths.run(ringGraph(spark, dir), SpLandmarks)
+    graft.algos.ShortestPaths.runPregel(ringGraph(spark, dir), SpLandmarks)
 
   /** BFS min-hops as bounded recursive closure (cap 50 ≫ diameter). */
   val qShortestPathsSql: String =

@@ -66,4 +66,66 @@ object ShortestPaths {
     dists.groupBy("id")
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("landmark"), col("distance"))))).as("distances"))
+
+  /** The reference's OWN formulation, on the generic combinator
+    * (spark-graphx 4.1.2 `lib.ShortestPaths` verbatim: vertex attr
+    * `map<landmark,int>`, messages flow dst → src carrying the dst's map
+    * incremented, merge = key-union with min) — the demonstration that
+    * `graph.Pregel` expresses a real algorithm end-to-end. Output is
+    * identical to [[run]]'s long format (differentially pinned in
+    * AggregateMessagesSpec).
+    *
+    * Scale shape per superstep: only CHANGED vertices participate
+    * (`sendersPred`, the reference's implicit active set), messages read
+    * only dst attrs → the combinator routes through the cached REVERSE
+    * adjacency (|V|-row join + explode, no |E|-row join). One deliberate
+    * delta: the reference also suppresses messages that cannot improve the
+    * src (reading src attrs on every triplet — `TripletFields.All`); we
+    * let the min-merge at the recipient absorb those instead, keeping the
+    * triplet join one-sided. Fixed point and results are identical.
+    */
+  def runPregel(edges: DataFrame, landmarks: Seq[Long], maxIter: Int = 100): DataFrame = {
+    import graft.graph.{PreparedGraph, Pregel, TripletFields}
+    val g = PreparedGraph(edges)
+    try {
+      val emptyMap = map_from_arrays(
+        array().cast("array<bigint>"), array().cast("array<int>"))
+      val init = g.vertices.select(col("id"),
+        when(col("id").isInCollection(landmarks), map(col("id"), lit(0)))
+          .otherwise(emptyMap).as("dists"),
+        col("id").isInCollection(landmarks).as("changed"))
+      // message: the dst's landmark map, every hop count +1
+      val toSrc = transform_values(col("dst_dists"), (_, v) => v + 1)
+      // merge: key-union with min over all received maps
+      val merge = aggregate(collect_list(col("msg")), emptyMap,
+        (acc, m) => map_zip_with(acc, m, (_, a, b) => least(a, b))).as("msg_dists")
+      // NOTE: the OLD map must be referenced dataframe-qualified
+      // (state("dists")): a bare col("dists") inside the exists/zip
+      // lambdas is captured by Spark's lateral-column-alias resolution
+      // and silently rebinds to the NEW sibling alias `dists` — measured:
+      // `changed` compared messages against the already-merged map and
+      // the loop halted after one superstep.
+      def vprog(state: DataFrame, msgs: DataFrame): DataFrame =
+        state.join(msgs.hint("SHUFFLE_HASH"), Seq("id"), "left")
+          .select(col("id"),
+            when(col("msg_dists").isNull, state("dists"))
+              .otherwise(map_zip_with(state("dists"), col("msg_dists"),
+                (_, a, b) => least(a, b))).as("dists"),
+            // improved iff some received entry is new or strictly smaller
+            when(col("msg_dists").isNull, lit(false))
+              .otherwise(exists(map_entries(col("msg_dists")), e =>
+                coalesce(e.getField("value") <
+                  try_element_at(state("dists"), e.getField("key")), lit(true))))
+              .as("changed"))
+      val state = Pregel.iterate(g, init,
+        toDst = None, toSrc = Some(toSrc), merge = Seq(merge), vprog,
+        Pregel.Config(maxIter = maxIter, fields = TripletFields.Dst,
+          sendersPred = Some(col("changed")), algo = "sssp"))
+      val out = state.select(col("id"), explode(col("dists"))
+          .as(Seq("landmark", "distance")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally g.unpersist()
+  }
 }

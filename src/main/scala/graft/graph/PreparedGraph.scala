@@ -34,8 +34,28 @@ final class PreparedGraph private (
   /** Flat (src, dst) view (parallel edges preserved). */
   def edges: DataFrame = adjacency.select(col("src"), explode(col("dsts")).as("dst"))
 
+  @volatile private var revBuilt = false
+
+  /** Reverse CSR blocks `(dst, in_degree, srcs)`, hash-partitioned by dst
+    * and cached — the routing structure for src-recipient messaging
+    * (`AggregateMessages` toSrc, `collectNeighborIds(In)`): joining
+    * per-vertex state on dst and exploding `srcs` replaces an |E|-row
+    * join, symmetric to the forward `adjacency`. Built lazily on first
+    * use (one groupBy over the cached forward blocks); released by
+    * [[unpersist]]. */
+  lazy val reverseAdjacency: DataFrame = {
+    val r = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).cast("long").as("in_degree"), collect_list(col("src")).as("srcs"))
+      .repartition(numPartitions, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    revBuilt = true
+    r
+  }
+
   def unpersist(): Unit = {
     adjacency.unpersist(false); vertices.unpersist(false)
+    if (revBuilt) reverseAdjacency.unpersist(false)
   }
 }
 

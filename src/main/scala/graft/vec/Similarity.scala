@@ -34,11 +34,12 @@ object Similarity {
   /** Unit-normalized copy of a vector column (cosine of two normalized
     * vectors = plain dot). Pairwise scorers normalize each SIDE once
     * before joining — one array pass per pair instead of three (dot + two
-    * norms); at n² pairs the norm recomputation dominates otherwise. */
-  def normalized(v: Column): Column = {
-    val n = l2Norm(v)
-    transform(v, x => x.cast("double") / n)
-  }
+    * norms); at n² pairs the norm recomputation dominates otherwise.
+    * Native one-pass expression (graft.functions.NormalizeL2): the
+    * previous `transform(v, x / l2Norm(v))` re-evaluated the O(d) norm
+    * per element — O(d²) per vector at real embedding dims (ADVICE r2). */
+  def normalized(v: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.normalizeL2(v)
 
   /** Exact top-k by cosine for every query vector. Output:
     * (query_id, neighbor_id, cos, rank 1..k). Ties broken by neighbor id

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.graphx.{Graph => XGraph, TripletFields => XTF}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{AggregateMessages, EdgeOps, PreparedGraph, Pregel, TripletFields}
+
+/** The public generic combinator pinned three ways: same-JVM differentials
+  * against the reference jar's `Graph.aggregateMessages` (including the
+  * AggregateMessagesExample older-follower query), structural identities
+  * (degrees), and a full Pregel algorithm (min-label CC) against both the
+  * engine's CC and the union-find oracle. */
+class AggregateMessagesSpec extends SparkTestBase {
+
+  def graphxAges(pairs: Seq[(Long, Long)]): XGraph[Double, Int] =
+    XGraph.fromEdgeTuples(spark.sparkContext.parallelize(pairs, 4), 1)
+      .mapVertices((id, _) => id.toDouble * 1.5 + 1.0)
+
+  /** Reference example reproduced (jar AggregateMessagesExample: count +
+    * sum of followers older than the followee, toDst, both attrs read). */
+  test("differential vs jar: older-follower count/sum (toDst, TripletFields.All)") {
+    for (seed <- 1 to 3) {
+      val pairs = randomEdges(seed, n = 50, m = 180)
+      val theirs = graphxAges(pairs).aggregateMessages[(Int, Double)](
+        t => if (t.srcAttr > t.dstAttr) t.sendToDst((1, t.srcAttr)),
+        (a, b) => (a._1 + b._1, a._2 + b._2), XTF.All)
+        .collect().map { case (id, (c, s)) => id -> ((c.toLong, s)) }.toMap
+
+      val g = PreparedGraph(edgesDF(pairs))
+      val verts = g.vertices.select(col("id"),
+        (col("id") * 1.5 + 1.0).as("age"))
+      val ours = AggregateMessages.run(g, verts,
+        toDst = Some(when(col("src_age") > col("dst_age"),
+          struct(lit(1).as("n"), col("src_age").as("s")))),
+        toSrc = None,
+        merge = Seq(sum(col("msg.n")).as("cnt"), sum(col("msg.s")).as("total")),
+        fields = TripletFields.All)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      g.unpersist()
+      assert(ours.keySet == theirs.keySet, s"seed=$seed recipient sets differ")
+      theirs.foreach { case (id, (c, s)) =>
+        assert(ours(id)._1 == c, s"seed=$seed id=$id count")
+        assert(math.abs(ours(id)._2 - s) < 1e-9, s"seed=$seed id=$id sum")
+      }
+    }
+  }
+
+  test("differential vs jar: sum of dst ages to src (toSrc, TripletFields.Dst " +
+      "— the reverse-adjacency path)") {
+    for (seed <- 4 to 5) {
+      val pairs = randomEdges(seed, n = 40, m = 150)
+      val theirs = graphxAges(pairs).aggregateMessages[Double](
+        t => t.sendToSrc(t.dstAttr), _ + _, XTF.Dst)
+        .collect().toMap
+
+      val g = PreparedGraph(edgesDF(pairs))
+      val verts = g.vertices.select(col("id"), (col("id") * 1.5 + 1.0).as("age"))
+      val ours = AggregateMessages.run(g, verts,
+        toDst = None, toSrc = Some(col("dst_age")),
+        merge = Seq(sum(col("msg")).as("s")), fields = TripletFields.Dst)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      g.unpersist()
+      assert(ours.keySet == theirs.keySet, s"seed=$seed recipient sets differ")
+      theirs.foreach { case (id, s) =>
+        assert(math.abs(ours(id) - s) < 1e-9, s"seed=$seed id=$id") }
+    }
+  }
+
+  test("structural identities: toSrc lit(1) = out-degrees, toDst lit(1) = " +
+      "in-degrees; src_degree exposed on triplets") {
+    val pairs = randomEdges(7, n = 30, m = 100)
+    val g = PreparedGraph(edgesDF(pairs))
+    val verts = g.vertices
+    val outs = AggregateMessages.run(g, verts, toDst = None,
+      toSrc = Some(lit(1L)), merge = Seq(sum("msg").as("degree")),
+      fields = TripletFields.None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expOut = EdgeOps.outDegrees(edgesDF(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outs == expOut, "toSrc unit messages = out-degrees")
+
+    val ins = AggregateMessages.run(g, verts, toDst = Some(lit(1L)),
+      toSrc = None, merge = Seq(sum("msg").as("degree")),
+      fields = TripletFields.None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expIn = EdgeOps.inDegrees(edgesDF(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ins == expIn, "toDst unit messages = in-degrees")
+
+    // src_degree on the triplet view = the source's out-degree
+    val t = AggregateMessages.triplets(g, verts, TripletFields.None)
+      .select(col("src"), col("src_degree")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g.unpersist()
+    assert(t == expOut, "triplet src_degree = out-degree")
+  }
+
+  test("Pregel: min-label propagation CC matches engine CC + union-find " +
+      "(messages both directions, active-set send)") {
+    for (seed <- 8 to 9) {
+      val pairs = randomEdges(seed, n = 80, m = 70) // sparse → many comps
+      val g = PreparedGraph(edgesDF(pairs))
+      val init = g.vertices.select(col("id"), col("id").as("label"),
+        lit(true).as("changed"))
+      def vprog(state: org.apache.spark.sql.DataFrame,
+          msgs: org.apache.spark.sql.DataFrame) =
+        state.join(msgs.hint("SHUFFLE_HASH"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("m"), col("label"))).as("label"),
+            coalesce(col("m") < col("label"), lit(false)).as("changed"))
+      val state = Pregel.iterate(g, init,
+        toDst = Some(col("src_label")), toSrc = Some(col("dst_label")),
+        merge = Seq(min("msg").as("m")), vprog,
+        Pregel.Config(sendersPred = Some(col("changed")), algo = "minlabel"))
+      val ours = state.select("id", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      g.unpersist()
+      val cc = graft.algos.ConnectedComponents.run(edgesDF(pairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ours == cc, s"seed=$seed pregel min-label vs engine CC")
+      assert(ours == unionFindCC(pairs), s"seed=$seed pregel min-label vs union-find")
+    }
+  }
+
+  test("ShortestPaths.runPregel (reference-shaped map formulation on the " +
+      "combinator) equals the long-format fast path") {
+    for (seed <- 11 to 13) {
+      val pairs = randomEdges(seed, n = 60, m = 150)
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val landmarks = verts.take(3)
+      val fast = graft.algos.ShortestPaths.run(edgesDF(pairs), landmarks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val pregel = graft.algos.ShortestPaths.runPregel(edgesDF(pairs), landmarks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(pregel == fast, s"seed=$seed runPregel vs run")
+    }
+  }
+
+  test("Pregel halts at the fixed point (empty active set) and respects maxIter") {
+    // a 2-chain: propagation dies after 1 round; maxIter=0 → init returned
+    val pairs = Seq((1L, 2L))
+    val g = PreparedGraph(edgesDF(pairs))
+    val init = g.vertices.select(col("id"), col("id").as("label"),
+      lit(true).as("changed"))
+    def vprog(state: org.apache.spark.sql.DataFrame,
+        msgs: org.apache.spark.sql.DataFrame) =
+      state.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("m"), col("label"))).as("label"),
+          coalesce(col("m") < col("label"), lit(false)).as("changed"))
+    val frozen = Pregel.iterate(g, init, Some(col("src_label")), None,
+      Seq(min("msg").as("m")), vprog,
+      Pregel.Config(maxIter = 0, algo = "halt0"))
+    assert(frozen.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 2L))
+    val done = Pregel.iterate(g, init, Some(col("src_label")), None,
+      Seq(min("msg").as("m")), vprog,
+      Pregel.Config(sendersPred = Some(col("changed")), algo = "halt1"))
+    g.unpersist()
+    assert(done.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
+  }
+}

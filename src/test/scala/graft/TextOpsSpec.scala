@@ -173,4 +173,42 @@ class TextOpsSpec extends SparkTestBase {
     assert(ivfAll == exact, "nProbe = k must equal exact top-k")
     vecs.unpersist()
   }
+
+  test("IVF trainer issues O(initRounds) Spark jobs, independent of k " +
+      "(the r2 k-sequential-jobs scale-killer is gone)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding").cache()
+    vecs.count()
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(2000) } // let the async listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    // lloyd iters fixed; vary k 8 → 32: job count must NOT scale with k
+    val j8 = jobsDuring { graft.vec.IVF.trainCentroids(vecs, k = 8, iters = 2).count() }
+    val j32 = jobsDuring { graft.vec.IVF.trainCentroids(vecs, k = 32, iters = 2).count() }
+    // the load-bearing assertion: 4× the cells, SAME job count (r2's greedy
+    // init did k sequential jobs — k=32 would add ≥24 over k=8)
+    assert(j32 <= j8 + 3, s"trainer jobs scale with k: k=8→$j8 jobs, k=32→$j32")
+    // absolute sanity bound: AQE counts every query-stage materialization
+    // as a job, so the constant is coarse — but O(k)=O(32 seeds × stages)
+    // would blow far past it
+    assert(j32 < 100, s"trainer issued $j32 jobs — not O(initRounds)")
+    // the guard: k above the sample size fails loudly, not degenerately
+    intercept[IllegalArgumentException] {
+      graft.vec.IVF.trainCentroids(vecs, k = 500, iters = 1)
+    }
+    vecs.unpersist()
+  }
 }
