@@ -39,10 +39,10 @@ object SparkEntry {
     "q_cosine_topk" -> (DocQueries.qCosineTopK _),
     "q_emb_dupes" -> (DocQueries.qEmbDupes _),
     "q_ivf_topk" -> (DocQueries.qIvfTopK _),
+    "q_text_analysis" -> (DocQueries.qLangId _),
     // engine-only (no SQL-expressible oracle: xxhash64-based)
     "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
     "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
-    "q_text_analysis" -> (DocQueries.qLangId _),
     "q_lsh_topk" -> (DocQueries.qLshTopK _)
   )
 
@@ -68,6 +68,8 @@ object SparkEntry {
     "q_emb_norms" -> DocQueries.qEmbNormsSql,
     "q_cosine_topk" -> DocQueries.qCosineTopKSql,
     "q_emb_dupes" -> DocQueries.qEmbDupesSql,
-    "q_ivf_topk" -> DocQueries.qIvfTopKSql
+    "q_ivf_topk" -> DocQueries.qIvfTopKSql,
+    // full oracle since r3: portable character-polynomial fingerprint
+    "q_text_analysis" -> DocQueries.qTextAnalysisSql
   )
 }

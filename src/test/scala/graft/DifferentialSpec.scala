@@ -41,6 +41,21 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("differential personalized TOL-mode PageRank vs jar " +
+      "personalizedPageRank(src, tol) on 3 random graphs") {
+    for (seed <- 80 to 82) {
+      val pairs = randomEdges(seed, n = 50, m = 160)
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val src = verts(seed % verts.size)
+      val ours = PageRank.run(edgesDF(pairs),
+        PageRank.Config(tol = Some(1e-7), personalized = Some(src)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val theirs = graphxOf(pairs).personalizedPageRank(src, 1e-7)
+        .vertices.collect().toMap
+      compareRanks(pairs, ours, theirs, s"pprTol seed=$seed src=$src")
+    }
+  }
+
   test("differential parallel personalized PageRank: each column equals " +
       "the reference SCALAR personalized PageRank for that source") {
     // The reference's own parallel variant diverges from its scalar

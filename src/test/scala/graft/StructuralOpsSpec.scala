@@ -135,4 +135,48 @@ class StructuralOpsSpec extends SparkTestBase {
     // duration i%60000 ms at 1 fps → max(1, floor(duration/1000)) frames (min 1 via greatest)
     assert(byId(5L) == 1L) // 5ms duration → 1 frame (floor=0 → greatest(0, -1)=0 → seq(0,0) = 1 row)
   }
+
+  test("collectNeighborIds In/Out/Either matches the jar per direction " +
+      "(sorted-multiset compare)") {
+    import org.apache.spark.graphx.{Graph => XGraph, EdgeDirection => XDir}
+    val pairs = randomEdges(91, n = 25, m = 80) // dups + self-loops included
+    val xg = XGraph.fromEdgeTuples(spark.sparkContext.parallelize(pairs, 4), 1)
+    val e = edgesDF(pairs)
+    for ((xdir, dir) <- Seq(
+        XDir.In -> graft.graph.EdgeDirection.In,
+        XDir.Out -> graft.graph.EdgeDirection.Out,
+        XDir.Either -> graft.graph.EdgeDirection.Either)) {
+      val theirs = xg.collectNeighborIds(xdir).collect()
+        .map { case (id, arr) => id -> arr.sorted.toSeq }.toMap
+      val ours = graft.graph.Adjacency.collectNeighborIds(e, dir)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // jar: vertices with no neighbors that way may be absent OR empty —
+      // normalize both sides to the full universe with empty default
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val theirsFull = verts.map(v => v -> theirs.getOrElse(v, Seq.empty[Long])).toMap
+      assert(ours == theirsFull, s"dir=$dir")
+    }
+  }
+
+  test("collectNeighbors carries attrs; collectEdges lists incident edges " +
+      "under the right endpoints") {
+    val pairs = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (2, 3))
+    val e = edgesDF(pairs)
+    import spark.implicits._
+    val verts = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val nbrs = graft.graph.Adjacency
+      .collectNeighbors(e, verts, graft.graph.EdgeDirection.Out)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[org.apache.spark.sql.Row](1))
+          .map(_.map(x => (x.getLong(0), x.getString(1)))).orNull).toMap
+    assert(nbrs(1L) == Seq((2L, "b"), (3L, "c")))
+    assert(nbrs(2L) == Seq((3L, "c"), (3L, "c"))) // parallel edge kept
+    assert(nbrs(3L) == Seq((1L, "a")))
+    val edges = graft.graph.Adjacency
+      .collectEdges(e, graft.graph.EdgeDirection.Either)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    assert(edges(1L).sorted == Seq((1L, 2L), (1L, 3L), (3L, 1L)))
+    assert(edges(2L).sorted == Seq((1L, 2L), (2L, 3L), (2L, 3L)))
+  }
 }

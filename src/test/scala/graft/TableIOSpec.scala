@@ -55,10 +55,26 @@ class TableIOSpec extends SparkTestBase {
     assert(frame.agg(sum("rank")).first().getDouble(0) == 2.4)
   }
 
-  test("config gate selects the impl; iceberg ref mapping is stable") {
+  test("config gate selects the impl; iceberg ref mapping is stable, " +
+      "readable, and INJECTIVE (colliding sanitizations get distinct tables)") {
     assert(TableIO.forSession(spark) == ParquetTableIO)
     val ice = new IcebergTableIO("lake")
-    assert(ice.tableName("/ck/run1/cc/superstep=3") == "ck_run1_cc_superstep_3")
-    assert(ice.tableName("a//b==c") == "a_b_c")
+    // readable part unchanged; deterministic
+    assert(ice.sanitized("/ck/run1/cc/superstep=3") == "ck_run1_cc_superstep_3")
+    assert(ice.sanitized("a//b==c") == "a_b_c")
+    assert(ice.tableName("x/y") == ice.tableName("x/y"))
+    assert(ice.tableName("x/y").startsWith("x_y_h"))
+    // the r2 collision: distinct refs, same sanitization → now distinct
+    val collide = Seq("a/b", "a_b", "a-b", "a=b", "a//b")
+    assert(collide.map(ice.tableName).distinct.size == collide.size,
+      "distinct refs must map to distinct tables")
+    // child-name contract: sanitized child name with the hash stripped —
+    // the regex Checkpoints.latest applies still extracts the step
+    val childName = ice.tableName("/ck/r/pr/superstep=12")
+      .stripPrefix(ice.sanitized("/ck/r/pr") + "_")
+      .replaceAll("_h[0-9a-f]{8}$", "")
+    assert(childName == "superstep_12")
+    val stepRe = "superstep[=_]?(\\d+)".r
+    assert(stepRe.findFirstMatchIn(childName).map(_.group(1)) == Some("12"))
   }
 }

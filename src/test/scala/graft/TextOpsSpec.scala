@@ -174,6 +174,24 @@ class TextOpsSpec extends SparkTestBase {
     vecs.unpersist()
   }
 
+  test("precomputed-plane LSH buckets are bit-identical to the per-row " +
+      "hash formula (the codegen'd path changes cost, not output)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat).toSeq))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val tables = 4; val bits = 6
+    val planes = Similarity.planeMatrices(spark, tables, bits, 12)
+    (0 until tables).foreach { t =>
+      val both = vecs.select(
+        Similarity.lshBucket(col("embedding"), bits, t).as("slow"),
+        Similarity.lshBucketExpr(col("embedding"), planes(t)).as("fast"))
+      assert(both.filter(col("slow") =!= col("fast")).count() == 0,
+        s"table $t buckets diverge")
+    }
+  }
+
   test("IVF trainer issues O(initRounds) Spark jobs, independent of k " +
       "(the r2 k-sequential-jobs scale-killer is gone)") {
     import spark.implicits._
