@@ -181,4 +181,23 @@ object IterationHygiene {
     df.unpersist(false)
     (cp, () => h.foreach(_.unpersist(false)))
   }
+
+  /** Await a ROOT-LEVEL observation that the truncation's own
+    * materialization fires (the CC rotateObserved pattern — reliable only
+    * when the observed node is the root of the executed plan; mid-plan
+    * observations can resolve to an empty row, see graph.Pregel). Falls
+    * back to `fallback` if the metric doesn't surface or arrives empty. */
+  def awaitObservedLong(obs: org.apache.spark.sql.Observation,
+      fallback: => Long): Long = {
+    var tries = 0
+    while (tries < 40) {
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          return if (row.length > 0) row.getLong(0) else fallback
+        case Some(scala.util.Failure(_)) => return fallback
+        case _ => Thread.sleep(25); tries += 1
+      }
+    }
+    fallback
+  }
 }
