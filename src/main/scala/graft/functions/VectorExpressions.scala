@@ -170,6 +170,85 @@ case class NormalizeL2(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature of a string-array column in ONE pass over the
+  * shingles: each shingle is xxhash64'd ONCE (seed 42, Spark's own
+  * XXH64 — the same primitive the builtin xxhash64 uses), then the
+  * `numHashes` signature slots are derived by a multiply-shift universal
+  * family `h_j = h·a_j + b_j` (odd a_j, natural 2^64 wraparound) with
+  * min-accumulation into a primitive long[].
+  *
+  * The builtin-expression formulation — `transform(seq(0,n-1), i =>
+  * array_min(transform(sh, s => xxhash64(i, s))))` — re-hashes every
+  * shingle STRING once per hash function (n × |sh| string hashes through
+  * an interpreted HOF chain, plus n intermediate arrays); this expression
+  * does |sh| string hashes + n·|sh| long multiply-adds in a tight loop.
+  * Signature VALUES differ from the builtin formulation (different but
+  * equally uniform family — MinHash guarantees are family-agnostic);
+  * recall tests pin the operator's behavior.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_minhash"
+
+  // deterministic splitmix64-scrambled multiply-shift parameters
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(numHashes)(j => mix(2L * j) | 1L) // odd
+    val b = Array.tabulate(numHashes)(j => mix(2L * j + 1))
+    (a, b)
+  }
+
+  /** Shared by eval and the codegen'd call. */
+  def computeSig(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val v = h * as(j) + bs(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    computeSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeSig($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Elementwise sum of array<double> vectors as a native typed aggregate —
   * the M-step primitive for distributed (spherical) k-means.
   *
@@ -273,4 +352,8 @@ object VectorExpressions {
   def vectorSum(a: Column): Column =
     ExpressionUtils.column(
       VectorSum(ExpressionUtils.expression(a)).toAggregateExpression())
+
+  /** Native one-pass MinHash signature (array<long>) of a string array. */
+  def minhash(a: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
 }

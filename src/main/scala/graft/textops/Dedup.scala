@@ -79,14 +79,16 @@ object Dedup {
 
   // --------------------------------------------------------------- minhash
 
-  /** MinHash signature over a PRE-COMPUTED shingle-array column:
-    * numHashes independent xxhash64 seeds, min over the shingle set per
-    * seed. Takes the column (not the text) deliberately — inlining the
-    * regexp-heavy shingle expression here would re-evaluate it once per
-    * hash function (measured 25× slowdown). */
+  /** MinHash signature over a PRE-COMPUTED shingle-array column — the
+    * native one-pass expression (graft.functions.MinHashSignature): each
+    * shingle string hashed ONCE, the numHashes slots derived by a
+    * multiply-shift family in a tight loop. Takes the column (not the
+    * text) deliberately — inlining the regexp-heavy shingle expression
+    * here would re-evaluate it per reference (measured 25× slowdown).
+    * (The r2 builtin formulation re-hashed every shingle string once per
+    * hash function through an interpreted HOF chain.) */
   def minhashSignatureOfShingles(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    org.apache.spark.sql.graftvec.VectorExpressions.minhash(sh, numHashes)
 
   /** MinHash LSH near-dup pairs: signatures banded (bands × rowsPerBand =
     * numHashes); docs colliding on any band's hash become candidates;
