@@ -106,6 +106,7 @@ object StronglyConnectedComponents {
         val (e2, n2) = rotateCounted(rotE, kept.coalesce(p), nextStep())
         trimmed = n2 < eRows
         e = e2; eRows = n2
+        graft.runtime.Trace.log(s"scc trim edges=$eRows")
       }
       if (eRows == 0) {
         graft.runtime.Trace.log(f"scc round=$round trimmed-to-empty " +
@@ -113,53 +114,90 @@ object StronglyConnectedComponents {
       } else {
         val p = AdaptivePartitions.forRows(spark, eRows, cfg.numPartitions)
 
-        // ---- 2. forward min-color propagation, delta frontier.
-        // TWO supersteps are fused into each rotation: min-propagation is
-        // monotone and the changed flag after the fused pair is exactly
-        // "changed in either step", so the fixed point is unchanged, but
-        // the number of rotations (each a scheduled job + materialization
-        // of kB-sized late-round state — the measured cost driver at
-        // sf0.1, not compute) halves. The second step re-evaluates the
-        // first step's |V|-row join subtree inside the same plan — cheap
-        // next to a saved job on the shrinking graphs this loop runs on.
-        def colorStep(cs: DataFrame): DataFrame = {
-          val senders = cs.filter(col("changed"))
-            .select(col("id").as("sid"), col("color").as("scolor"))
-          val msgs = e.join(senders.hint("SHUFFLE_HASH"), col("src") === col("sid"))
-            .groupBy(col("dst")).agg(min(col("scolor")).as("m"))
-          cs.join(msgs.hint("SHUFFLE_HASH"), cs("id") === msgs("dst"), "left")
-            .select(cs("id"),
-              least(cs("color"), coalesce(col("m"), cs("color"))).as("color"),
-              (col("m").isNotNull && col("m") < cs("color")).as("changed"))
-        }
-        // second fused step, carrying "changed in either step" — the next
-        // pair's senders then include every vertex this pair updated
-        // (supersets the exact last-step frontier; harmless under
-        // monotone min, messages just repeat an absorbed color)
-        def colorPair(cs: DataFrame): DataFrame = {
-          val s1 = colorStep(cs)
-          val senders = s1.filter(col("changed"))
-            .select(col("id").as("sid"), col("color").as("scolor"))
-          val msgs = e.join(senders.hint("SHUFFLE_HASH"), col("src") === col("sid"))
-            .groupBy(col("dst")).agg(min(col("scolor")).as("m"))
-          s1.join(msgs.hint("SHUFFLE_HASH"), s1("id") === msgs("dst"), "left")
-            .select(s1("id"),
-              least(s1("color"), coalesce(col("m"), s1("color"))).as("color"),
-              (s1("changed") ||
-                (col("m").isNotNull && col("m") < s1("color"))).as("changed"))
-        }
-        var colors = rotC.adopt(EdgeOps.vertices(e)
-          .select(col("id"), col("id").as("color"), lit(true).as("changed"))
-          .coalesce(p))
-        var changed = 1L
-        while (changed > 0) {
-          val (c2, nChanged) = rotateObservedCount(rotC,
-            colorPair(colors).coalesce(p), nextStep(), col("changed"))
-          colors = c2; changed = nChanged
+        // Accelerated min-label propagation to fixed point. Each round is
+        // one EDGE-RELAX step (v learns its in-neighbors' labels along
+        // `edges`) plus one POINTER-DOUBLING SHORTCUT (v learns its
+        // current label's label — sound because reachability is
+        // transitive). Relax alone needs O(diameter) rounds — ~600 on the
+        // per-nation ring cycles of the driver workload, unbounded on web
+        // redirect chains; relax+shortcut converges in O(log d) rounds.
+        //
+        // Labels are (hash(id), id) STRUCTS ordered by the hashed key —
+        // the randomized total order is load-bearing: with raw ids,
+        // doubling degrades to one-vertex-per-round whenever ids happen
+        // to increase along the propagation direction (measured on the
+        // ring workload's backward sweep: min(self, successor-label)
+        // stays self, so no pointer chains ever form to jump). A seeded
+        // hash order breaks that correlation in every graph w.h.p. — the
+        // hash-to-min idea (Rastogi et al., ICDE'13) applied to directed
+        // min-reachability. Fixed point unchanged by the order: labels
+        // only decrease, every label reaches its vertex, and a combined
+        // fixed point is relax-fixed; pivots are simply hash-chosen
+        // instead of min-id (reference min-id labels restored by the
+        // per-SCC relabel below).
+        //
+        // Relax and shortcut are rotated SEPARATELY: fusing them into one
+        // plan duplicates the relax join/agg subtree under both sides of
+        // the shortcut self-join, which sent Catalyst's size-in-bytes
+        // statistics (a product over children) into minutes of BigInteger
+        // arithmetic — measured as a full driver stall at sf0.1. Two
+        // shallow LogicalRDD-rooted plans per round keep stats O(1).
+        def keyOf(idc: org.apache.spark.sql.Column) =
+          struct(xxhash64(idc, lit(7L)).as("k"), idc.as("i"))
+        def minReach(edges: DataFrame, initVerts: DataFrame,
+            rot: StateRotator): DataFrame = {
+          def relax(cs: DataFrame): DataFrame = {
+            val senders = cs.filter(col("changed"))
+              .select(col("id").as("sid"), col("color").as("scolor"))
+            val msgs = edges.join(senders.hint("SHUFFLE_HASH"), col("src") === col("sid"))
+              .groupBy(col("dst")).agg(min(col("scolor")).as("m"))
+            cs.join(msgs.hint("SHUFFLE_HASH"), cs("id") === msgs("dst"), "left")
+              .select(cs("id"),
+                least(cs("color"), coalesce(col("m"), cs("color"))).as("color"),
+                (col("m").isNotNull && col("m") < cs("color")).as("changed"))
+          }
+          // pointer-doubling shortcut: v jumps to its label's label —
+          // its own rotation (not fused over the relax output: that would
+          // duplicate the relax join/agg subtree under both sides of a
+          // self-join, which squares Catalyst's size-in-bytes statistic
+          // per nesting level — measured as minutes of driver-side
+          // BigInteger arithmetic at sf0.1)
+          def shortcut(cs: DataFrame): DataFrame = {
+            val m = cs.select(col("id").as("mid"), col("color").as("mcolor"))
+            cs.join(m.hint("SHUFFLE_HASH"),
+                cs("color").getField("i") === col("mid"), "left")
+              .select(cs("id"),
+                least(cs("color"), coalesce(col("mcolor"), cs("color"))).as("color"),
+                (cs("changed") ||
+                  (col("mcolor").isNotNull && col("mcolor") < cs("color"))).as("changed"))
+          }
+          var colors = rot.adopt(initVerts
+            .select(col("id"), keyOf(col("id")).as("color"), lit(true).as("changed"))
+            .coalesce(p))
+          var changed = 1L
+          while (changed > 0) {
+            val (c1, _) = rotateObservedCount(rot,
+              relax(colors).coalesce(p), nextStep(), col("changed"))
+            val (c2, nChanged) = rotateObservedCount(rot,
+              shortcut(c1).coalesce(p), nextStep(), col("changed"))
+            colors = c2; changed = nChanged
+          }
+          colors
         }
 
-        // ---- 3. backward confirmation within color classes (all roots
-        // at once): frontier BFS from roots along reversed same-color edges
+        // ---- 2. forward coloring: class(v) = hash-min vertex among v's
+        // reachers (the pivot z); z reaches its whole class, and z is the
+        // hash-min member OF the class (any smaller-key member would have
+        // re-colored z through z→member reachability... it IS reached by
+        // z, and its own color must then be ≤ z's key, forcing equality)
+        val colors = minReach(e, EdgeOps.vertices(e), rotC)
+
+        // ---- 3. backward confirmation within color classes, as the SAME
+        // accelerated propagation on the REVERSED same-color edge set:
+        // bcolor(v) = hash-min class member v reaches through the class.
+        // v ∈ SCC(z)  ⟺  v reaches z inside the class  ⟺  bcolor(v) =
+        // (key(z), z) = color(v). Replaces the r2 frontier BFS from the
+        // roots — O(class diameter) rounds — with O(log d).
         val cSrc = colors.select(col("id").as("csid"), col("color").as("csc"))
         val cDst = colors.select(col("id").as("cdid"), col("color").as("cdc"))
         val ecolPlan = e
@@ -169,23 +207,30 @@ object StronglyConnectedComponents {
           .select(col("src"), col("dst"))
         val ecol = ecolPlan.coalesce(p).persist(StorageLevel.MEMORY_AND_DISK)
         ecol.count()
-
-        var confirmed = rotConf.adopt(
-          colors.filter(col("id") === col("color"))
-            .select(col("id"), col("color").as("component")).coalesce(p))
-        var frontier = rotFr.adopt(confirmed)
-        var frontierRows = 1L
-        while (frontierRows > 0) {
-          val grow = ecol.join(frontier.select(col("id").as("fid"),
-                col("component")).hint("SHUFFLE_HASH"),
-              col("dst") === col("fid"))
-            .select(col("src").as("id"), col("component")).distinct()
-            .join(confirmed.select(col("id")), Seq("id"), "left_anti")
-          val (f2, n2) = rotateCounted(rotFr, grow.coalesce(p), nextStep())
-          frontier = f2; frontierRows = n2
-          if (frontierRows > 0)
-            confirmed = rotConf.adopt(confirmed.union(frontier).coalesce(p))
-        }
+        val rev = ecol.select(col("dst").as("src"), col("src").as("dst"))
+        // separate rotator: rotC still owns `colors`, which the confirmed
+        // join below reads — rotating bcolors through rotC would release
+        // the live forward-color blocks
+        val bcolors = minReach(rev, EdgeOps.vertices(ecol), rotFr)
+        val members = colors.join(
+            bcolors.select(col("id"), col("color").as("bcolor")).hint("SHUFFLE_HASH"),
+            Seq("id"), "left")
+          .filter(col("bcolor").isNotNull && col("bcolor") === col("color"))
+          .select(col("id"), col("color").getField("i").as("pivot"))
+          .union(
+            // pivots of classes with NO internal edges (trivial classes
+            // absent from ecol's vertex set) confirm themselves
+            colors.join(EdgeOps.vertices(ecol), Seq("id"), "left_anti")
+              .filter(col("id") === col("color").getField("i"))
+              .select(col("id"), col("id").as("pivot")))
+        // reference label semantics: component = MIN VERTEX ID of the SCC
+        // (pivots are hash-chosen) — one aggregate + broadcast-size join
+        // over this round's confirmed members
+        val sccMin = members.groupBy("pivot").agg(min(col("id")).as("component"))
+        val confirmed = rotConf.adopt(
+          members.join(sccMin.hint("SHUFFLE_HASH"), Seq("pivot"))
+            .select(col("id"), col("component"))
+            .coalesce(p))
         ecol.unpersist(false)
 
         // ---- 4. bank the confirmed SCCs, remove them from the graph
@@ -199,7 +244,7 @@ object StronglyConnectedComponents {
         val (e3, n3) = rotateCounted(rotE, remaining.coalesce(p), nextStep())
         e = e3; eRows = n3
         graft.runtime.Trace.log(f"scc round=$round edges_left=$eRows " +
-          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+          f"steps=$step sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
     }
     // Worst case, outer rounds = the condensation chain length (an
@@ -246,11 +291,15 @@ object StronglyConnectedComponents {
     var tries = 0
     while (tries < 40) {
       obs.future.value match {
-        case Some(scala.util.Success(row)) =>
+        case Some(scala.util.Success(row)) if row.length > 0 =>
           return (rotated, row.getAs[Long]("c"))
+        case Some(_) =>
+          graft.runtime.Trace.log(s"scc obs step=$step resolved unusable after $tries tries")
+          return (rotated, rotated.filter(pred).count())
         case _ => Thread.sleep(25); tries += 1
       }
     }
+    graft.runtime.Trace.log(s"scc obs step=$step timed out")
     (rotated, rotated.filter(pred).count())
   }
 }

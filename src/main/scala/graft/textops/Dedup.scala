@@ -56,25 +56,37 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-    val filtered =
+    // materialize the exploded shingle table ONCE: it feeds the size
+    // aggregate, the frequency cap, and BOTH sides of the pair join —
+    // left as a plan, the regexp-tokenize → shingle pipeline re-evaluates
+    // ~4× (Catalyst inlines it into every consumer)
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("s"))
+      .localCheckpoint(true)
+    val filtered0 =
       if (maxShingleFreq <= 0) sh
       else {
         val freq = sh.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq)
         sh.join(freq.select("s"), "s")
       }
+    // the capped table also feeds both join sides — materialize it too
+    val filtered = if (maxShingleFreq <= 0) filtered0 else filtered0.localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = filtered.select(col("id").as("ia"), col("s"))
     val b = filtered.select(col("id").as("ib"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
-    common
+    val out = common
       .join(sizes.select(col("id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("id").as("ib"), col("n").as("nb")), "ib")
       .select(col("ia"), col("ib"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    releaseLocalCheckpoint(sh)
+    if (maxShingleFreq > 0) releaseLocalCheckpoint(filtered)
+    out
   }
 
   // --------------------------------------------------------------- minhash
