@@ -208,6 +208,26 @@ object DocQueries {
       |    + least(1.0, stopr * 5) * 0.2, 6) AS quality
       | FROM scored""".stripMargin
 
+  // --------------------------------------------------------------- events
+
+  /** Batch twin of the streaming windowed event aggregation
+    * (`streaming.StreamOps.windowedEventCounts` — identical expressions;
+    * the streaming variant adds only the watermark, a batch no-op).
+    * Window starts formatted as strings so the oracle compare is
+    * timestamp-serialization-proof. */
+  def qEventWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowedEventCounts(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), round(col("value_sum"), 4).as("value_sum"))
+
+  val qEventWindowsSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+      |   '%Y-%m-%d %H:%M:%S') AS w_start,
+      | event_type, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(value), 4) AS value_sum
+      | FROM events GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------- engine-only (rows-only check)
 
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =

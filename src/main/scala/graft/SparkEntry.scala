@@ -40,6 +40,7 @@ object SparkEntry {
     "q_emb_dupes" -> (DocQueries.qEmbDupes _),
     "q_ivf_topk" -> (DocQueries.qIvfTopK _),
     "q_text_analysis" -> (DocQueries.qLangId _),
+    "q_event_windows" -> (DocQueries.qEventWindows _),
     // engine-only (no SQL-expressible oracle: xxhash64-based)
     "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
     "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
@@ -70,6 +71,8 @@ object SparkEntry {
     "q_emb_dupes" -> DocQueries.qEmbDupesSql,
     "q_ivf_topk" -> DocQueries.qIvfTopKSql,
     // full oracle since r3: portable character-polynomial fingerprint
-    "q_text_analysis" -> DocQueries.qTextAnalysisSql
+    "q_text_analysis" -> DocQueries.qTextAnalysisSql,
+    // batch twin of the streaming windowed aggregation (r3)
+    "q_event_windows" -> DocQueries.qEventWindowsSql
   )
 }

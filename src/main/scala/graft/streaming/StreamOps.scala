@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.graph.EdgeOps
+import graft.pages.Extract
+
+/** Structured-Streaming surface of the engine: the same declarative
+  * pipelines the batch operators use, applied to unbounded sources — a
+  * web-crawl feed is a STREAM of page captures long before it is a table,
+  * and a training-data pipeline wants link extraction, dedup and
+  * freshness metrics continuously, not nightly.
+  *
+  * Design rules (the 100 TB posture):
+  *  - stateless transforms (extraction, encoding, per-row text stats) are
+  *    the BATCH expressions verbatim — one definition, two execution
+  *    modes; Catalyst plans them identically per micro-batch;
+  *  - stateful operators carry the MINIMUM state: the streaming dedup
+  *    keeps one boolean per content hash (not the document), the windowed
+  *    aggregates are bounded by the watermark horizon;
+  *  - sinks are append-only through the same directory contract TableIO
+  *    uses, so a streaming ingestion lands in exactly the layout the
+  *    batch engine reads (locally parquet; on a lakehouse the `path`
+  *    becomes an Iceberg table with exactly-once appends).
+  */
+object StreamOps {
+
+  /** Page captures (url, html, …) → encoded (src, dst) edge stream — the
+    * batch `Extract.outlinks` + `EdgeOps.encode` pipeline (pure
+    * expressions: regexp extraction + xxhash64 encoding, no dictionary
+    * join, so it is streaming-safe with NO state). Accepts either a
+    * streaming or a batch frame — identical results by construction. */
+  def edgeStream(pages: DataFrame): DataFrame =
+    EdgeOps.encode(Extract.outlinks(pages))
+
+  /** Append the edge stream to a directory/table in the engine's at-rest
+    * layout. Exactly-once via the sink's checkpoint (offset log + file
+    * manifest). */
+  def writeEdgeStream(edges: DataFrame, path: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    edges.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  final case class Doc(doc_id: Long, text: String, content_hash: String)
+
+  /** Cross-batch exact deduplication: emit only the FIRST occurrence of
+    * each content hash over the stream's lifetime (within a micro-batch,
+    * the smallest doc_id — deterministic). The streaming twin of
+    * `textops.Dedup.exactGroups`' keep-set, as
+    * `flatMapGroupsWithState`: state is ONE BOOLEAN per distinct content
+    * hash — O(distinct contents), never O(documents) — and lives in the
+    * state store (RocksDB/HDFS-backed at scale, checkpointed with the
+    * query). No timeout: a training-corpus dedup is global by intent;
+    * bound the state by windowing upstream if the feed is unbounded in
+    * distinct content. */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"),
+        md5(col(textCol).cast("binary")).as("content_hash"))
+      .as[Doc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
+  /** Watermarked sliding-window event aggregation (count + value sum per
+    * event type): the freshness/throughput metrics feed of an ingestion
+    * pipeline. Late events beyond `watermark` are dropped and their
+    * windows finalized — bounded state, append-mode emission of closed
+    * windows only. Works identically on a batch frame (watermark is a
+    * no-op there), which is how the test pins the streaming results. */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type", windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("value_sum"))
+}
