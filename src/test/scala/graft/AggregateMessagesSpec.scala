@@ -136,6 +136,38 @@ class AggregateMessagesSpec extends SparkTestBase {
     }
   }
 
+  test("Pregel expresses static PageRank: combinator ranks match the " +
+      "engine's flagship implementation (and the jar) to 1e-9") {
+    for (seed <- 14 to 15) {
+      val pairs = randomEdges(seed, n = 60, m = 200)
+      val g = PreparedGraph(edgesDF(pairs))
+      val resetProb = 0.15; val iters = 15
+      val init = g.vertices.select(col("id"), lit(1.0).as("rank"))
+      def vprog(state: org.apache.spark.sql.DataFrame,
+          msgs: org.apache.spark.sql.DataFrame) =
+        state.join(msgs.hint("SHUFFLE_HASH"), Seq("id"), "left")
+          .select(col("id"),
+            (lit(resetProb) + lit(1.0 - resetProb) *
+              coalesce(col("m"), lit(0.0))).as("rank"))
+      val state = Pregel.iterate(g, init,
+        toDst = Some(col("src_rank") / col("src_degree")), toSrc = None,
+        merge = Seq(sum("msg").as("m")), vprog,
+        Pregel.Config(maxIter = iters, fields = TripletFields.Src, algo = "ppr_static"))
+      // reference normalizeRankSum tail
+      val total = state.agg(sum("rank")).first().getDouble(0)
+      val nv = g.numVertices
+      val ours = state.select(col("id"), (col("rank") * nv / total).as("rank"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      g.unpersist()
+      val engine = graft.algos.PageRank.run(edgesDF(pairs),
+        graft.algos.PageRank.Config(numIter = iters))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ours.keySet == engine.keySet, s"seed=$seed vertex sets")
+      engine.foreach { case (id, r) =>
+        assert(math.abs(ours(id) - r) < 1e-9, s"seed=$seed id=$id: ${ours(id)} vs $r") }
+    }
+  }
+
   test("Pregel halts at the fixed point (empty active set) and respects maxIter") {
     // a 2-chain: propagation dies after 1 round; maxIter=0 → init returned
     val pairs = Seq((1L, 2L))
