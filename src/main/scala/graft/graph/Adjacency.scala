@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
 object Adjacency {
 
   /** Build adjacency blocks from an edge table. One shuffle (the groupBy);
-    * destination arrays sorted for deterministic output + mergeable scans. */
-  def fromEdges(e: DataFrame): DataFrame =
-    e.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+    * destination arrays sorted for deterministic output + mergeable scans.
+    * Blocks are degree-capped ([[PreparedGraph.cappedBlocks]]): a vertex
+    * whose out-degree exceeds `spark.graft.adjacency.maxBlockArity` spans
+    * multiple rows, each carrying the TRUE total `degree` (so `bucket` is
+    * the true degree band on every chunk). Below the cap — every test/sf
+    * corpus — output is identical to the single-row-per-source layout. */
+  def fromEdges(e: DataFrame, cap: Int = 0): DataFrame = {
+    val c = if (cap > 0) cap else PreparedGraph.blockCap(e.sparkSession)
+    PreparedGraph.cappedBlocks(e, "src", "dst", "degree", "dsts", c, sort = true)
       .select(
-        // degree band: 0 for deg 1, log2 band above
-        floor(log2(size(col("dsts")).cast("double"))).cast("int").as("bucket"),
+        // degree band: 0 for deg 1, log2 band above — from the TRUE degree
+        floor(log2(col("degree").cast("double"))).cast("int").as("bucket"),
         col("src"),
-        size(col("dsts")).as("degree"),
+        col("degree"),
         col("dsts"))
+  }
 
   def toTyped(df: DataFrame)(implicit spark: SparkSession): Dataset[AdjacencyBlock] = {
     import spark.implicits._
@@ -76,20 +82,26 @@ object Adjacency {
 
   /** Reference `GraphOps.collectNeighbors(direction)`: neighbor (id, attr)
     * structs per vertex — the id array join'd against a vertex-attr frame
-    * (`verts`: id + attr columns). Same universe/determinism contract as
-    * [[collectNeighborIds]]. */
+    * (`verts`: id + attr columns). Same universe/empty-default contract as
+    * [[collectNeighborIds]]: every vertex of the edge table appears, with
+    * an EMPTY array when it has no neighbors that way (the reference's
+    * default-empty leftZipJoin — ADVICE r3: previously NULL). Contract on
+    * `verts`: a neighbor absent from the attr frame is dropped from the
+    * collected arrays (the inner attr join) — pass the full vertex
+    * universe, as the reference's own graph-attr call sites do. */
   def collectNeighbors(e: DataFrame, verts: DataFrame,
       dir: EdgeDirection): DataFrame = {
     val attrs = verts.columns.filter(_ != "id").toSeq
     val nbrAttrs = verts.select(
       col("id").as("nbr") +: attrs.map(c => col(c)): _*)
+    val grouped = incident(e, dir).join(nbrAttrs, Seq("nbr"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(
+        struct(col("nbr").as("id") +: attrs.map(c => col(c)): _*))).as("neighbors"))
+    val emptyArr = array().cast(grouped.schema("neighbors").dataType)
     EdgeOps.vertices(e)
-      .join(incident(e, dir).join(nbrAttrs, Seq("nbr"))
-        .groupBy("id")
-        .agg(sort_array(collect_list(
-          struct(col("nbr").as("id") +: attrs.map(c => col(c)): _*))).as("neighbors")),
-        Seq("id"), "left")
-      .select(col("id"), col("neighbors"))
+      .join(grouped, Seq("id"), "left")
+      .select(col("id"), coalesce(col("neighbors"), emptyArr).as("neighbors"))
   }
 
   /** Reference `GraphOps.collectEdges(direction)`: incident (src, dst)

@@ -18,5 +18,7 @@ final case class VertexLabel(id: Long, label: Long)
 /** CSR-style per-source adjacency block: sorted destination array for one
   * source vertex, bucketed for range/degree-aware placement
   * (reference analog: `graphx.impl.EdgePartition`'s clustered edge arrays,
-  * SURVEY.md §1.1). */
-final case class AdjacencyBlock(bucket: Int, src: Long, degree: Int, dsts: Array[Long])
+  * SURVEY.md §1.1). `degree` is the source's TRUE total out-degree; a
+  * vertex above the block cap spans several rows that share it
+  * (`Adjacency.fromEdges`). */
+final case class AdjacencyBlock(bucket: Int, src: Long, degree: Long, dsts: Array[Long])

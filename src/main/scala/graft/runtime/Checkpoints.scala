@@ -128,7 +128,12 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     * drift between a checkpointed and a plain run of the SAME iteration,
     * breaking the resume-is-bit-identical contract. */
   def rotate(next: DataFrame, superstep: Int): DataFrame = {
-    val cp = next.localCheckpoint(true) // eager; truncates plan + lineage
+    // eager localCheckpoint truncates plan + lineage; the stats clamp
+    // stops the truncated plan's COMPUTED sizeInBytes (a product over
+    // every state reference in the superstep) from compounding
+    // exponentially across rotations — see graftplan.PlanStats
+    val cp = org.apache.spark.sql.graftplan.PlanStats
+      .clampCheckpointStats(next.localCheckpoint(true))
     cfg.foreach { c =>
       if (c.every > 0 && superstep % c.every == 0)
         graft.sources.TableIO.forSession(cp.sparkSession)
@@ -145,7 +150,8 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     * release, WITHOUT re-saving it over the directory it may have just
     * been read from. */
   def adopt(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
+    val cp = org.apache.spark.sql.graftplan.PlanStats
+      .clampCheckpointStats(df.localCheckpoint(true))
     release()
     release = internalRddRelease(cp)
     cp
@@ -174,7 +180,8 @@ object IterationHygiene {
     }.foreach(_.unpersist(false))
 
   def truncate(df: DataFrame): (DataFrame, () => Unit) = {
-    val cp = df.localCheckpoint(true)
+    val cp = org.apache.spark.sql.graftplan.PlanStats
+      .clampCheckpointStats(df.localCheckpoint(true))
     val h = cp.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }

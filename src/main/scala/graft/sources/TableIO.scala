@@ -90,8 +90,13 @@ object ParquetTableIO extends TableIO {
   * `catalog.namespace.table` identifiers with path separators sanitized.
   * Uses only generic Spark APIs — no Iceberg classes — so it is always
   * compilable and fails fast at runtime if the catalog isn't configured.
-  * Iceberg commits are atomic, so every listed table is complete. */
-final class IcebergTableIO(catalog: String, namespace: String = "graft")
+  * Iceberg commits are atomic, so every listed table is complete.
+  * `provider` parameterizes the DSv2 format name ("iceberg" in
+  * production; tests drive the same read/write/append/children code
+  * against the built-in session catalog with the parquet provider —
+  * VERDICT r3 next #6). */
+final class IcebergTableIO(catalog: String, namespace: String = "graft",
+    provider: String = "iceberg")
     extends TableIO {
 
   /** Readable sanitization: [/ =.-] and friends become '_', runs
@@ -113,34 +118,59 @@ final class IcebergTableIO(catalog: String, namespace: String = "graft")
 
   private def fq(ref: String): String = s"$catalog.$namespace.${tableName(ref)}"
 
+  /** Pre-hash-suffix name (the scheme before the injective `tableName`
+    * upgrade). */
+  private def fqLegacy(ref: String): String =
+    s"$catalog.$namespace.${sanitized(ref)}"
+
+  /** Read-path resolution (ADVICE r3): prefer the hashed name; fall back
+    * to the legacy unsuffixed name so snapshots/checkpoints written by the
+    * pre-upgrade scheme stay discoverable — checkpoint resume must not
+    * silently see an empty history across the naming upgrade. New writes
+    * always use the hashed name (overwrite migrates forward). */
+  private def resolve(spark: SparkSession, ref: String): String = {
+    val hashed = fq(ref)
+    if (spark.catalog.tableExists(hashed)) hashed
+    else {
+      val legacy = fqLegacy(ref)
+      if (spark.catalog.tableExists(legacy)) legacy else hashed
+    }
+  }
+
   override def read(spark: SparkSession, ref: String): DataFrame =
-    spark.table(fq(ref))
+    spark.table(resolve(spark, ref))
 
   override def write(df: DataFrame, ref: String, mode: SaveMode,
       clusterBy: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    val w0 = df.writeTo(fq(ref)).using("iceberg")
+    val w0 = df.writeTo(fq(ref)).using(provider)
     val w = if (clusterBy.nonEmpty) w0.partitionedBy(col(clusterBy.head),
       clusterBy.tail.map(col): _*) else w0
     mode match {
       case SaveMode.Append =>
-        if (!exists(df.sparkSession, ref)) w.create() else df.writeTo(fq(ref)).append()
+        // continuity: keep appending to whichever table (hashed, or a
+        // pre-upgrade legacy one) already holds this ref's history
+        if (!exists(df.sparkSession, ref)) w.create()
+        else df.writeTo(resolve(df.sparkSession, ref)).append()
       case _ => w.createOrReplace()
     }
   }
 
   override def exists(spark: SparkSession, ref: String): Boolean =
-    spark.catalog.tableExists(fq(ref))
+    spark.catalog.tableExists(fq(ref)) ||
+      spark.catalog.tableExists(fqLegacy(ref))
 
   /** Children match on the READABLE prefix (a child ref `parent/x`
     * sanitizes to `sanitized(parent)_x…`); each listed name has its own
-    * `_h<hex>` suffix stripped so callers (checkpoint discovery) see the
-    * sanitized child name. */
+    * `_h<hex>` suffix stripped — legacy unsuffixed names pass through
+    * unchanged — so callers (checkpoint discovery) see the sanitized
+    * child name; a child present under both schemes lists once. */
   override def children(spark: SparkSession, ref: String): Seq[String] = {
     val prefix = sanitized(ref) + "_"
     spark.sql(s"SHOW TABLES IN $catalog.$namespace")
       .select("tableName").collect().map(_.getString(0)).toSeq
       .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
       .map(_.replaceAll("_h[0-9a-f]{8}$", ""))
+      .distinct
   }
 }

@@ -95,6 +95,21 @@ object IVF {
           candidates.getOrElseUpdate(r.getLong(0), r.getSeq[Double](1).toArray))
       }
     }
+    // low-diversity guard (ADVICE r3): a duplicate-heavy corpus can cover
+    // every point exactly after one round (φ ≤ 0 with as few as ONE
+    // candidate), leaving fewer than k candidates even though k ≤ sampleN
+    // held — pad deterministically (hash-ordered distinct ids not yet
+    // candidates) so driverKMeans always receives ≥ k points
+    if (candidates.size < k) {
+      val needed = k - candidates.size
+      val extra = unit
+        .filter(!col("id").isInCollection(candidates.keySet))
+        .orderBy(xxhash64(col("id"), lit(seed + 7919)), asc("id"))
+        .limit(needed)
+        .select(col("id"), col("v")).collect()
+      extra.foreach(r =>
+        candidates.getOrElseUpdate(r.getLong(0), r.getSeq[Double](1).toArray))
+    }
     // candidate weights: sample points per nearest candidate (one pass)
     val candDf = broadcast(candidates.toSeq.zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }.toDF("cid", "cv"))

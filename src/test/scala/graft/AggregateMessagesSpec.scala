@@ -168,6 +168,67 @@ class AggregateMessagesSpec extends SparkTestBase {
     }
   }
 
+  test("active-set is enforced even when TripletFields excludes the " +
+      "originator side (ADVICE r3 medium)") {
+    import org.apache.spark.sql.DataFrame
+    // one superstep with sendersPred = (id = 1); messages are unit counts,
+    // fields = None → no attr join could enforce the restriction
+    def oneStep(pairs: Seq[(Long, Long)], toDst: Boolean, toSrc: Boolean,
+        fields: TripletFields): Map[Long, Long] = {
+      val g = PreparedGraph(edgesDF(pairs))
+      val init = g.vertices.select(col("id"), lit(0L).as("got"),
+        (col("id") === 1L).as("is_sender"))
+      def vprog(state: DataFrame, msgs: DataFrame) =
+        state.join(msgs, Seq("id"), "left")
+          .select(col("id"), coalesce(col("m"), lit(0L)).as("got"),
+            lit(false).as("is_sender"))
+      val out = Pregel.iterate(g, init,
+        toDst = if (toDst) Some(lit(1L)) else None,
+        toSrc = if (toSrc) Some(lit(1L)) else None,
+        merge = Seq(sum("msg").as("m")), vprog,
+        Pregel.Config(maxIter = 1, fields = fields,
+          sendersPred = Some(col("is_sender")), algo = s"aset_${toDst}_${toSrc}_$fields"))
+        .select("id", "got")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      g.unpersist()
+      out
+    }
+    // 1→3, 2→3: only src 1 is a sender → 3 receives exactly ONE toDst msg
+    assert(oneStep(Seq((1L, 3L), (2L, 3L)), toDst = true, toSrc = false,
+      TripletFields.None) === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // 3→1, 3→2: toSrc originators are the dsts {1,2}, only 1 sends →
+    // 3 receives ONE msg — reverse-adjacency path (fields None)
+    assert(oneStep(Seq((3L, 1L), (3L, 2L)), toDst = false, toSrc = true,
+      TripletFields.None) === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // same but through the forward path (fields = Src forces it)
+    assert(oneStep(Seq((3L, 1L), (3L, 2L)), toDst = false, toSrc = true,
+      TripletFields.Src) === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // both directions on 1→2: src 1 active (sends toDst), dst 2 inactive
+    // (its toSrc msg suppressed by the activity flag)
+    assert(oneStep(Seq((1L, 2L)), toDst = true, toSrc = true,
+      TripletFields.None) === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("both-direction messaging evaluates the adjacency ONCE " +
+      "(single-pass explode — VERDICT r3 next #3)") {
+    val pairs = randomEdges(21, n = 40, m = 150)
+    val g = PreparedGraph(edgesDF(pairs))
+    val out = AggregateMessages.run(g, g.vertices,
+      toDst = Some(lit(1L)), toSrc = Some(lit(1L)),
+      merge = Seq(sum("msg").as("deg")), fields = TripletFields.None)
+    val cachedScans = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedScans.length == 1,
+      s"expected ONE cached adjacency scan, got ${cachedScans.length}")
+    // and the result is still the total (in+out) degree
+    val ours = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = EdgeOps.degrees(edgesDF(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g.unpersist()
+    assert(ours == exp, "both-direction unit messages = total degrees")
+  }
+
   test("Pregel halts at the fixed point (empty active set) and respects maxIter") {
     // a 2-chain: propagation dies after 1 round; maxIter=0 → init returned
     val pairs = Seq((1L, 2L))

@@ -160,23 +160,26 @@ class StructuralOpsSpec extends SparkTestBase {
 
   test("collectNeighbors carries attrs; collectEdges lists incident edges " +
       "under the right endpoints") {
-    val pairs = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (2, 3))
+    val pairs = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (2, 3), (2, 4))
     val e = edgesDF(pairs)
     import spark.implicits._
-    val verts = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val verts = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name")
     val nbrs = graft.graph.Adjacency
       .collectNeighbors(e, verts, graft.graph.EdgeDirection.Out)
       .collect().map(r => r.getLong(0) ->
-        Option(r.getSeq[org.apache.spark.sql.Row](1))
-          .map(_.map(x => (x.getLong(0), x.getString(1)))).orNull).toMap
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getString(1)))).toMap
     assert(nbrs(1L) == Seq((2L, "b"), (3L, "c")))
-    assert(nbrs(2L) == Seq((3L, "c"), (3L, "c"))) // parallel edge kept
+    assert(nbrs(2L) == Seq((3L, "c"), (3L, "c"), (4L, "d"))) // parallel edge kept
     assert(nbrs(3L) == Seq((1L, "a")))
+    // empty-default contract (reference leftZipJoin): a sink vertex gets
+    // an EMPTY array, not NULL (ADVICE r3)
+    assert(nbrs(4L) == Seq.empty)
     val edges = graft.graph.Adjacency
       .collectEdges(e, graft.graph.EdgeDirection.Either)
       .collect().map(r => r.getLong(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
     assert(edges(1L).sorted == Seq((1L, 2L), (1L, 3L), (3L, 1L)))
-    assert(edges(2L).sorted == Seq((1L, 2L), (2L, 3L), (2L, 3L)))
+    assert(edges(2L).sorted == Seq((1L, 2L), (2L, 3L), (2L, 3L), (2L, 4L)))
   }
 }

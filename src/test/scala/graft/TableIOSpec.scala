@@ -77,4 +77,54 @@ class TableIOSpec extends SparkTestBase {
     val stepRe = "superstep[=_]?(\\d+)".r
     assert(stepRe.findFirstMatchIn(childName).map(_.group(1)) == Some("12"))
   }
+
+  test("DSv2 smoke: IcebergTableIO write/read/append/exists/children + " +
+      "checkpoint latest() EXECUTE against an in-memory catalog " +
+      "(VERDICT r3 next #6)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftmem", classOf[TestTableCatalog].getName)
+    spark.conf.set(TableIO.ImplKey, "iceberg")
+    spark.conf.set(TableIO.CatalogKey, "graftmem")
+    try {
+      TestTableCatalog.clear()
+      val io = TableIO.forSession(spark)
+      assert(io.isInstanceOf[IcebergTableIO], "config gate selects the catalog impl")
+      val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "rank")
+      val ref = "ck/run1/pagerank/superstep=3"
+
+      assert(!io.exists(spark, ref))
+      io.write(df, ref) // createOrReplace path
+      assert(io.exists(spark, ref))
+      assert(io.read(spark, ref).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 0.5), (2L, 1.5)))
+
+      io.append(Seq((3L, 2.5)).toDF("id", "rank"), ref)
+      assert(io.read(spark, ref).count() == 3, "append lands on the existing table")
+      io.write(df, ref) // overwrite replaces, not accumulates
+      assert(io.read(spark, ref).count() == 2)
+
+      io.write(df, "ck/run1/pagerank/superstep=5")
+      assert(io.children(spark, "ck/run1/pagerank").toSet ==
+        Set("superstep_3", "superstep_5"))
+
+      // the full engine path: checkpoint discovery through the catalog
+      val cfg = graft.runtime.CheckpointConfig("ck", "run1", every = 1)
+      val latest = graft.runtime.Checkpoints.latest(spark, cfg, "pagerank")
+      assert(latest.map(_._1) == Some(5), "latest() finds the max superstep table")
+      assert(latest.get._2.count() == 2)
+
+      // legacy-name fallback (ADVICE r3): a pre-upgrade unsuffixed table
+      // is still found by read/exists/children
+      Seq((7L, 7L)).toDF("id", "component")
+        .writeTo("graftmem.graft.ck_run9_cc_superstep_1").using("memory").create()
+      val legacyRef = "ck/run9/cc/superstep=1"
+      assert(io.exists(spark, legacyRef))
+      assert(io.read(spark, legacyRef).count() == 1)
+      assert(io.children(spark, "ck/run9/cc") == Seq("superstep_1"))
+    } finally {
+      spark.conf.unset(TableIO.ImplKey)
+      spark.conf.unset(TableIO.CatalogKey)
+      TestTableCatalog.clear()
+    }
+  }
 }
