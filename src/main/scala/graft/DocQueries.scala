@@ -228,19 +228,85 @@ object DocQueries {
       | round(sum(value), 4) AS value_sum
       | FROM events GROUP BY 1, 2""".stripMargin
 
-  // ----------------------------------------- engine-only (rows-only check)
+  // ------------------------- hash-native queries, PORTABLE oracle mode
+  // (VERDICT r3 next #2): the driver queries run the arithmetic hash
+  // family (graft.textops.PortableHash — same native expressions and
+  // join shapes, DuckDB-reproducible values) so all three gain full
+  // rows+schema+hash oracles; the xxhash64 family stays the operator
+  // default, pinned by ScalaTest recall/parity coverage.
 
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(spark, dir), k = 3, numHashes = 128,
-      bands = 16, threshold = 0.5)
+      bands = 16, threshold = 0.5, portable = true)
       .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Independent DuckDB twin of the FULL portable pipeline: shingles →
+    * per-shingle char-polynomial hash → 128 multiply-shift slots
+    * (min-accumulated) → 16 polynomial band hashes → banded candidate
+    * join → exact Jaccard ≥ 0.5 verification. */
+  val qMinhashPairsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   FROM documents),
+      | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+      |     FOR i IN range(1, len(t) - 1)]) END AS s FROM toks),
+      | hs AS (SELECT doc_id, s, list_transform(s, sg ->
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(sg) + 1), i -> CAST(unicode(sg[i]) AS BIGINT))),
+      |     (a, c) -> (a * 131 + c) % 2147483629)) AS hl FROM sh0),
+      | sig AS (SELECT doc_id, s,
+      |   [list_min(list_transform(hl, h -> ((2*j+1)*h + j*7919) % 2147483629))
+      |     FOR j IN range(0, 128)] AS sg FROM hs),
+      | bands AS (SELECT doc_id, b,
+      |   list_reduce(list_prepend(CAST(b AS BIGINT), sg[b*8+1 : b*8+8]),
+      |     (a, v) -> (a * 1000003 + v) % 2147483629) AS bh
+      |   FROM sig, range(0, 16) tb(b)),
+      | cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib FROM bands x
+      |   JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      | pairs AS (SELECT ia, ib,
+      |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |   FROM cand JOIN sh0 a ON a.doc_id = ia JOIN sh0 b ON b.doc_id = ib)
+      | SELECT ia, ib, round(jaccard, 6) AS jaccard FROM pairs
+      | WHERE jaccard >= 0.5""".stripMargin
 
   /** maxHamming = 3 is the Manku et al. WWW'07 near-dup operating point
     * for 64-bit simhash — and the scale-safe one: 16-bit chunk keys keep
     * the candidate join selective (h=8 on this corpus admits ~4% of ALL
     * pairs — not a near-dup predicate). */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3, portable = true)
+
+  /** DuckDB twin of the portable simhash: per token FOUR char-polynomial
+    * hashes (131/137/139/149); signature bit (16c + b) = sign of the vote
+    * sum over bit b of hash c — so the four 16-bit Hamming-band chunks
+    * are computed directly (integer div/mod), never a signed 64-bit pack;
+    * pigeonhole banding + bit_count(xor) verification as in the engine. */
+  val qSimhashPairsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   FROM documents),
+      | th AS (SELECT doc_id, list_transform(t, tok ->
+      |   [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+      |      (a, c) -> (a * m + c) % 2147483629) FOR m IN [131, 137, 139, 149]]) AS hq
+      |   FROM toks),
+      | votes AS (SELECT doc_id,
+      |   [list_sum(list_transform(hq, h ->
+      |      ((h[pos // 16 + 1] // (1::BIGINT << (pos % 16))) % 2) * 2 - 1))
+      |     FOR pos IN range(0, 64)] AS v FROM th),
+      | chunks AS (SELECT doc_id,
+      |   [list_sum([CASE WHEN v[16*c + b + 1] > 0 THEN 1::BIGINT << b ELSE 0 END
+      |      FOR b IN range(0, 16)]) FOR c IN range(0, 4)] AS ch FROM votes),
+      | flatc AS (SELECT doc_id, c, ch[c + 1] AS val FROM chunks, range(0, 4) rc(c)),
+      | cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib FROM flatc x
+      |   JOIN flatc y ON x.c = y.c AND x.val = y.val AND x.doc_id < y.doc_id),
+      | ham AS (SELECT ia, ib,
+      |   list_sum([bit_count(xor(a.ch[c+1], b.ch[c+1])) FOR c IN range(0, 4)]) AS hamming
+      |   FROM cand JOIN chunks a ON a.doc_id = ia JOIN chunks b ON b.doc_id = ib)
+      | SELECT ia, ib, CAST(hamming AS INTEGER) AS hamming FROM ham
+      | WHERE hamming <= 3""".stripMargin
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
@@ -288,7 +354,37 @@ object DocQueries {
 
   def qLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3, bits = 4, tables = 8)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3, bits = 4,
+      tables = 8, portable = true)
       .select(col("qid"), col("nid"), round(col("cos"), 5).as("cos"))
   }
+
+  /** DuckDB twin of the portable LSH ANN: ±1 planes from the shared
+    * integer-arithmetic sign formula (PortableHash.planeSign), sign-bit
+    * buckets, bucket-equi-join candidates, exact cosine re-rank top-3.
+    * Embedding dim is fixed at 64 by the driver testdata generator. */
+  val qLshTopKSql: String =
+    """WITH planes AS (SELECT t, p, d,
+      |   CASE WHEN ((t*8191 + p*131 + d*7 + 1) * 2654435761) % 2147483629 % 2 = 0
+      |     THEN 1.0 ELSE -1.0 END AS s
+      |   FROM range(0, 8) rt(t), range(0, 4) rp(p), range(0, 64) rd(d)),
+      | proj AS (SELECT e.vec_id, pl.t, pl.p,
+      |     sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.s) AS pr
+      |   FROM embeddings e JOIN planes pl ON true GROUP BY e.vec_id, pl.t, pl.p),
+      | buckets AS (SELECT vec_id, t,
+      |     sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+      |   FROM proj GROUP BY vec_id, t),
+      | cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      |   FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      |   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      | flat AS (SELECT cand.qid, cand.nid,
+      |     unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |   FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+      |   JOIN embeddings b ON b.vec_id = cand.nid),
+      | sc AS (SELECT qid, nid, sum(CAST(x AS DOUBLE) * y) /
+      |     (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(CAST(y AS DOUBLE) * y))) AS cos
+      |   FROM flat GROUP BY qid, nid)
+      | SELECT qid, nid, round(cos, 5) AS cos FROM (SELECT qid, nid, cos,
+      |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+      | WHERE rk <= 3""".stripMargin
 }

@@ -41,7 +41,8 @@ object SparkEntry {
     "q_ivf_topk" -> (DocQueries.qIvfTopK _),
     "q_text_analysis" -> (DocQueries.qLangId _),
     "q_event_windows" -> (DocQueries.qEventWindows _),
-    // engine-only (no SQL-expressible oracle: xxhash64-based)
+    // hash-native queries in PORTABLE oracle mode since r4 (arithmetic
+    // hash family with a DuckDB twin; xxhash64 stays the API default)
     "q_minhash_pairs" -> (DocQueries.qMinhashPairs _),
     "q_simhash_pairs" -> (DocQueries.qSimhashPairs _),
     "q_lsh_topk" -> (DocQueries.qLshTopK _)
@@ -73,6 +74,13 @@ object SparkEntry {
     // full oracle since r3: portable character-polynomial fingerprint
     "q_text_analysis" -> DocQueries.qTextAnalysisSql,
     // batch twin of the streaming windowed aggregation (r3)
-    "q_event_windows" -> DocQueries.qEventWindowsSql
+    "q_event_windows" -> DocQueries.qEventWindowsSql,
+    // full oracles since r4: the last three hash-native queries run the
+    // PORTABLE arithmetic hash family (graft.textops.PortableHash) —
+    // DuckDB reproduces signatures, banding and candidates exactly;
+    // xxhash64 stays the operator default outside the driver queries
+    "q_minhash_pairs" -> DocQueries.qMinhashPairsSql,
+    "q_simhash_pairs" -> DocQueries.qSimhashPairsSql,
+    "q_lsh_topk" -> DocQueries.qLshTopKSql
   )
 }

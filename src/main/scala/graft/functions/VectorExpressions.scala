@@ -186,7 +186,8 @@ case class NormalizeL2(child: Expression)
   * equally uniform family — MinHash guarantees are family-agnostic);
   * recall tests pin the operator's behavior.
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, numHashes: Int,
+    portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes with Serializable {
 
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
@@ -214,21 +215,44 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     (a, b)
   }
 
-  /** Shared by eval and the codegen'd call. */
+  /** Shared by eval and the codegen'd call. Portable mode (ORACLE
+    * contract — graft.textops.PortableHash): inner hash = character
+    * polynomial mod the 31-bit prime P (ASCII bytes — matching DuckDB's
+    * `unicode` per char), slots = `((2j+1)·h + j·7919) mod P` — every
+    * product < 2⁵², so DuckDB BIGINT arithmetic reproduces the signature
+    * bit-for-bit. Default mode keeps the XXH64 multiply-shift family
+    * (the scale path). */
   def computeSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val P = 2147483629L
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var j = 0
-        while (j < numHashes) {
-          val v = h * as(j) + bs(j)
-          if (v < sig(j)) sig(j) = v
-          j += 1
+        if (portable) {
+          var h = 0L
+          val bytes = s.getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h = (h * 131L + (bytes(b) & 0xffL)) % P
+            b += 1
+          }
+          var j = 0
+          while (j < numHashes) {
+            val v = ((2L * j + 1L) * h + j.toLong * 7919L) % P
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        } else {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+          var j = 0
+          while (j < numHashes) {
+            val v = h * as(j) + bs(j)
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
         }
       }
       i += 1
@@ -354,6 +378,7 @@ object VectorExpressions {
       VectorSum(ExpressionUtils.expression(a)).toAggregateExpression())
 
   /** Native one-pass MinHash signature (array<long>) of a string array. */
-  def minhash(a: Column, numHashes: Int): Column =
-    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
+  def minhash(a: Column, numHashes: Int, portable: Boolean = false): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a),
+      numHashes, portable))
 }

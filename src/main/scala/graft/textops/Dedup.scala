@@ -98,18 +98,27 @@ object Dedup {
     * text) deliberately — inlining the regexp-heavy shingle expression
     * here would re-evaluate it per reference (measured 25× slowdown).
     * (The r2 builtin formulation re-hashed every shingle string once per
-    * hash function through an interpreted HOF chain.) */
-  def minhashSignatureOfShingles(sh: Column, numHashes: Int): Column =
-    org.apache.spark.sql.graftvec.VectorExpressions.minhash(sh, numHashes)
+    * hash function through an interpreted HOF chain.)
+    * `portable = true` switches to the DuckDB-reproducible arithmetic
+    * family ([[PortableHash]]) — same native one-pass loop, oracle-mode
+    * values. */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int,
+      portable: Boolean = false): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.minhash(sh, numHashes, portable)
 
   /** MinHash LSH near-dup pairs: signatures banded (bands × rowsPerBand =
     * numHashes); docs colliding on any band's hash become candidates;
     * candidates verified with exact shingle Jaccard ≥ threshold.
     * Collision probability at Jaccard j is 1-(1-j^r)^b — with the default
-    * 16×8 a j=0.8 pair is caught w.p. ~0.986, j=0.5 w.p. ~0.06. */
+    * 16×8 a j=0.8 pair is caught w.p. ~0.986, j=0.5 w.p. ~0.06.
+    * `portable = true`: signature AND band hashes come from the
+    * arithmetic family, so the whole query has an independent DuckDB
+    * twin (candidate generation included); xxhash64 stays the default
+    * scale path. */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 128,
       bands: Int = 16, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Materialize the shingle and band frames: the banded self-join plus
@@ -119,11 +128,15 @@ object Dedup {
     // as a 50×+ blowup. localCheckpoint = eager, plan+lineage truncated.
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .localCheckpoint(true)
+    val bandHash: (Column, Column) => Column =
+      if (portable) (b, sl) => PortableHash.polyCombine(sl, b)
+      else (b, sl) => xxhash64(b, sl)
     val banded = sh
-      .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        minhashSignatureOfShingles(col("sh"), numHashes, portable).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+          b => bandHash(b, slice(col("sig"), b * r + 1, lit(r))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
       .localCheckpoint(true)
     val cand = banded.alias("x").join(banded.alias("y"),
@@ -174,6 +187,27 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Portable 64-bit SimHash (ORACLE MODE — [[PortableHash]]): four
+    * character-polynomial hashes per token (multipliers 131/137/139/149
+    * mod P), bit (16c + b) of the signature votes with bit b of hash c —
+    * so the four 16-bit chunks the Hamming banding uses are DIRECTLY the
+    * low-16-bit views DuckDB computes with integer div/mod, no 64-bit
+    * wraparound anywhere on the oracle side. Same vote/sign pipeline as
+    * [[simhash]]. */
+  def simhashPortable(text: Column): Column = {
+    val mults = Seq(131L, 137L, 139L, 149L)
+    val hquad = transform(TextStats.tokensWs(text),
+      t => array(mults.map(m => PortableHash.charPoly(t, m)): _*))
+    val votes = aggregate(hquad, array_repeat(lit(0L), 64),
+      (acc, hs) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
+        a + call_function("shiftright", element_at(hs, (j / 16 + 1).cast("int")),
+          (j % 16).cast("int")).bitwiseAND(1L) * 2L - 1L))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * by the pigeonhole band trick, verified with bit_count(xor).
     *
@@ -189,11 +223,13 @@ object Dedup {
     *    shares an exact (i, j, vᵢ, vⱼ) pair-bucket with a 2·(64/k)-bit
     *    value key. C(k,2) buckets per doc, but never a 7-bit key. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 30, s"maxHamming=$maxHamming out of range")
     // hash once, reused by both self-join sides and released after the
     // (small) result is materialized
-    val withSh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sig = if (portable) simhashPortable(col(textCol)) else simhash(col(textCol))
+    val withSh = docs.select(col(idCol).as("id"), sig.as("sh"))
       .localCheckpoint(true)
     def chunksOf(k: Int, w: Int): Column =
       transform(sequence(lit(0), lit(k - 1)),

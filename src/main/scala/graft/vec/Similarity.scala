@@ -65,7 +65,15 @@ object Similarity {
     * tables×bits (ADVICE/VERDICT r2 `weak`); now each bit is one
     * codegen'd [[dot]] against a constant plane. */
   private[graft] def planeMatrices(spark: org.apache.spark.sql.SparkSession,
-      tables: Int, bits: Int, dim: Int): Map[Int, Seq[Seq[Double]]] = {
+      tables: Int, bits: Int, dim: Int,
+      portable: Boolean = false): Map[Int, Seq[Seq[Double]]] = {
+    if (portable)
+      // ORACLE MODE: the ±1 signs come from pure integer arithmetic
+      // (graft.textops.PortableHash.planeSign) evaluated driver-side —
+      // trivially identical to the DuckDB twin's inline formula
+      return (0 until tables).map(t => t -> (0 until bits).map(p =>
+        (0 until dim).map(d =>
+          graft.textops.PortableHash.planeSign(t, p, d)).toSeq).toSeq).toMap
     import spark.implicits._
     val idx = for { t <- 0 until tables; p <- 0 until bits; d <- 0 until dim }
       yield (t, p, d)
@@ -113,10 +121,11 @@ object Similarity {
     * tables; exact cosine re-rank. Recall grows with tables, cost with
     * bucket size (≈ n / 2^bits per table). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
-      tables: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      tables: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = planeMatrices(corpus.sparkSession, tables, bits,
-      dimOf(corpus, vecCol))
+      dimOf(corpus, vecCol), portable)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         posexplode(array((0 until tables).map(t =>

@@ -71,6 +71,39 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Seq(1L -> "alpha", 2L -> "beta", 4L -> "gamma"))
   }
 
+  test("dedupStream with a state TTL re-admits a hash after expiry; " +
+      "without one the suppression is global (VERDICT r3 stretch #8)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    // drain-based waits (processAllAvailable / AvailableNow +
+    // awaitTermination) never return once processing-time timeouts are
+    // registered — the engine keeps scheduling no-data batches to fire
+    // them (which is exactly what lets the TTL expire here). Poll the
+    // sink with a deadline instead.
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupStream(in.toDF().toDF("doc_id", "text"),
+        stateTtl = Some("50 milliseconds")).writeStream
+      .format("memory").queryName("dedup_ttl_mem").outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("dedup_ttl_mem").count() < n) {
+        q.exception.foreach(throw _)
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
+        Thread.sleep(50)
+      }
+    }
+    in.addData((1L, "alpha")); awaitRows(1)
+    Thread.sleep(300) // TTL lapses; a no-data batch fires the timeout
+    in.addData((7L, "alpha"), (2L, "alpha")) // re-arrival AFTER expiry
+    awaitRows(2)
+    val out = spark.table("dedup_ttl_mem").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    q.stop()
+    assert(out == Seq(1L -> "alpha", 2L -> "alpha"),
+      s"expected re-admission (min doc_id) after TTL, got $out")
+  }
+
   test("windowedEventCounts: append mode emits only watermark-finalized " +
       "windows; late events beyond the watermark are dropped") {
     val s = spark

@@ -30,6 +30,39 @@ class TextOpsSpec extends SparkTestBase {
       s"recall ${mh.size}/${exact.size}")
   }
 
+  test("PORTABLE oracle mode keeps operator behavior: minhash recall ≥ " +
+      "0.95, simhash collisions, LSH recall (VERDICT r3 next #2)") {
+    def pairsD(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash: portable family is a different uniform family — same
+    // verified-subset + recall contract as the xxhash64 default
+    val exact = pairsD(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+    val mhP = pairsD(Dedup.minhashLshPairs(docs, k = 3, numHashes = 128,
+      bands = 16, threshold = 0.5, portable = true))
+    assert(mhP.subsetOf(exact), "portable minhash returned a pair below threshold")
+    assert(exact.isEmpty || mhP.size.toDouble / exact.size >= 0.95,
+      s"portable recall ${mhP.size}/${exact.size}")
+    // simhash: identical docs collide at distance 0, disjoint content doesn't
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer plans"))
+      .toDF("doc_id", "text")
+    val shP = Dedup.simhashPairs(d, maxHamming = 3, portable = true)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shP.contains((1L, 2L)) && !shP.contains((1L, 3L)))
+    // LSH ANN: portable planes keep the recall contract
+    def pairsQ(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = embs.filter(col("vec_id") < 20)
+    val ex = pairsQ(Similarity.bruteForceTopK(embs, q, 3))
+    val ap = pairsQ(Similarity.lshTopK(embs, q, 3, bits = 4, tables = 8,
+      portable = true))
+    val recall = (ex & ap).size.toDouble / ex.size
+    assert(recall >= 0.5, s"portable LSH recall $recall")
+  }
+
   test("simhash: identical docs distance 0; near-dup pairs found") {
     import spark.implicits._
     val d = Seq(
@@ -228,5 +261,18 @@ class TextOpsSpec extends SparkTestBase {
       graft.vec.IVF.trainCentroids(vecs, k = 500, iters = 1)
     }
     vecs.unpersist()
+  }
+
+  test("IVF trainer tolerates a duplicate-heavy corpus (k-means‖ candidate " +
+      "padding — ADVICE r3: φ ≤ 0 after one round must not starve k)") {
+    import spark.implicits._
+    // 20 ids, ONE distinct vector: oversampling covers everything with a
+    // single candidate immediately; padding must still deliver k centroids
+    val vecs = (0L until 20L).map(i => (i, Array(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.vec.IVF.trainCentroids(vecs, k = 4, iters = 2, seed = 3L)
+    assert(cents.count() == 4L, "k centroids even when all vectors collide")
+    // and assignment still works (everything lands in some cell)
+    assert(graft.vec.IVF.assignCells(vecs, cents).count() == 20L)
   }
 }
