@@ -78,6 +78,46 @@ object DocQueries {
       | JOIN sizes nb ON ib = nb.doc_id
       | WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
 
+  // --------------------------------------------------- dup clusters (CC)
+
+  /** Transitive near-dup clustering: the ENGINE'S ConnectedComponents run
+    * over the exact n-gram near-dup pair graph — the cross-module
+    * composition a real dedup pipeline performs (pairs → clusters →
+    * keep-one). Oracle = the same pairs in a DuckDB recursive-CTE
+    * closure. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
+
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   FROM documents),
+      | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+      |     FOR i IN range(1, len(t) - 1)]) END AS s FROM toks),
+      | sh AS (SELECT doc_id, unnest(s) AS sg FROM sh0),
+      | freq AS (SELECT sg, count(*) AS f FROM sh GROUP BY sg),
+      | shf AS (SELECT sh.doc_id, sh.sg FROM sh JOIN freq USING (sg)
+      |   WHERE f <= 1000),
+      | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |   FROM shf a JOIN shf b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |   GROUP BY a.doc_id, b.doc_id),
+      | pairs AS (SELECT ia, ib FROM common
+      |   JOIN sizes na ON ia = na.doc_id JOIN sizes nb ON ib = nb.doc_id
+      |   WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+      | verts AS (SELECT ia AS id FROM pairs UNION SELECT ib FROM pairs),
+      | sym AS (SELECT ia AS src, ib AS dst FROM pairs
+      |   UNION SELECT ib, ia FROM pairs),
+      | reach(id, lbl) AS (
+      |   SELECT id, id FROM verts
+      |   UNION
+      |   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
+      | SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+      |   id = min(lbl) AS keep
+      | FROM reach GROUP BY id""".stripMargin
+
   // --------------------------------------------------------------- vectors
 
   def qEmbNorms(spark: SparkSession, dir: String): DataFrame =

@@ -32,6 +32,7 @@ object SparkEntry {
     "q_shortest_paths" -> (DriverQueries.qShortestPaths _),
     // training-data pipeline ops
     "q_dedup_exact" -> (DocQueries.qDedupExact _),
+    "q_dedup_clusters" -> (DocQueries.qDedupClusters _),
     "q_doc_stats" -> (DocQueries.qDocStats _),
     "q_text_quality" -> (DocQueries.qTextQuality _),
     "q_ngram_dupes" -> (DocQueries.qNgramDupes _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_label_propagation" -> DriverQueries.qLabelPropagationSql,
     "q_shortest_paths" -> DriverQueries.qShortestPathsSql,
     "q_dedup_exact" -> DocQueries.qDedupExactSql,
+    "q_dedup_clusters" -> DocQueries.qDedupClustersSql,
     "q_doc_stats" -> DocQueries.qDocStatsSql,
     "q_text_quality" -> DocQueries.qTextQualitySql,
     "q_ngram_dupes" -> DocQueries.qNgramDupesSql,

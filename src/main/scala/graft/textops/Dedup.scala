@@ -160,6 +160,28 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------------- dup clusters
+
+  /** Transitive near-duplicate CLUSTERS: the standard corpus-dedup closure
+    * step (near-dup similarity is not transitive, but keep-one-per-cluster
+    * policies are applied to the transitive closure of the pair graph —
+    * C4/Gopher-style pipelines). Takes any (ia, ib) near-dup pair frame
+    * (n-gram Jaccard, MinHash, SimHash, embedding-cosine — they compose),
+    * runs the ENGINE'S small-star/large-star ConnectedComponents over it,
+    * and returns one row per document in a multi-doc cluster:
+    * `(doc_id, cluster_id = min doc_id of the cluster, keep = doc_id ==
+    * cluster_id)`. Documents in no pair are not listed (singleton clusters
+    * are implicit) — drop `keep = false` rows to dedup.
+    *
+    * Scale shape: the pair graph is MUCH smaller than the corpus
+    * (candidates were bucket-joined upstream), and CC is the engine's
+    * log-round alternating-star algorithm — no driver-side union-find. */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    graft.algos.ConnectedComponents
+      .run(pairs.select(col("ia").as("src"), col("ib").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+
   /** Unpersist a localCheckpoint's internal RDD blocks (Dataset.unpersist
     * does not track them — measured run-over-run leak otherwise). */
   private def releaseLocalCheckpoint(df: DataFrame): Unit =

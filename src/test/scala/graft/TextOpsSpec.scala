@@ -63,6 +63,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"portable LSH recall $recall")
   }
 
+  test("dupClusters: transitive closure of near-dup pairs via the " +
+      "engine's ConnectedComponents; min-id keeper per cluster") {
+    import spark.implicits._
+    // 1-2, 2-5 chain (closure: one cluster) + a separate 7-9 pair
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("ia", "ib")
+    val cl = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(cl == Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
   test("simhash: identical docs distance 0; near-dup pairs found") {
     import spark.implicits._
     val d = Seq(
