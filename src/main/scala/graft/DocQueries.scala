@@ -210,6 +210,25 @@ object DocQueries {
       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
       |   FROM cscore) WHERE rk <= 3""".stripMargin
 
+  // ----------------------------------------------------------------- tfidf
+
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidf(docs(spark, dir))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+
+  val qTfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |     string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+      |   FROM documents),
+      | tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |   FROM toks GROUP BY doc_id, token),
+      | df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      | n AS (SELECT count(*) AS N FROM documents)
+      | SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |  round(tf.tf * (ln(CAST(N + 1 AS DOUBLE) / (df.df + 1)) + 1.0), 6) AS tfidf
+      | FROM tf JOIN df USING (token), n""".stripMargin
+
   // ------------------------------------------------------- quality + langid
 
   /** Quality score + language ID — the SQL-expressible half of

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_emb_dupes" -> (DocQueries.qEmbDupes _),
     "q_ivf_topk" -> (DocQueries.qIvfTopK _),
     "q_text_analysis" -> (DocQueries.qLangId _),
+    "q_tfidf" -> (DocQueries.qTfidf _),
     "q_event_windows" -> (DocQueries.qEventWindows _),
     // hash-native queries in PORTABLE oracle mode since r4 (arithmetic
     // hash family with a DuckDB twin; xxhash64 stays the API default)
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_ivf_topk" -> DocQueries.qIvfTopKSql,
     // full oracle since r3: portable character-polynomial fingerprint
     "q_text_analysis" -> DocQueries.qTextAnalysisSql,
+    "q_tfidf" -> DocQueries.qTfidfSql,
     // batch twin of the streaming windowed aggregation (r3)
     "q_event_windows" -> DocQueries.qEventWindowsSql,
     // full oracles since r4: the last three hash-native queries run the

@@ -97,6 +97,32 @@ object TextStats {
     aggregate(tokensWs(text), lit(0L),
       (acc, t) => pmod(acc * 1000003L + tokenHash(t), lit(FpPrime)))
 
+  /** Per-(document, token) TF-IDF over whitespace tokens — the classic
+    * relevance/feature weighting a training-data pipeline derives from
+    * token counts: tf = occurrences in the document, df = documents
+    * containing the token, idf = ln((N+1)/(df+1)) + 1 (smoothed, never
+    * zero or negative), tfidf = tf·idf.
+    *
+    * Scale shape: two map-side-combined aggregations (doc-token tf,
+    * token df) and one equi-join on token — no cross join, no driver
+    * action (N rides along as a 1-row broadcast). Token df is Zipf-skewed
+    * at corpus scale; the join key is the token itself so AQE's skew
+    * split applies, and stop-token rows can be pre-filtered by a df cap
+    * downstream. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokensWs(col(textCol))).as("token"))
+    val n = docs.agg(count(lit(1)).as("N"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * (log((col("N") + 1).cast("double") / (col("df") + 1)) + 1.0))
+          .as("tfidf"))
+  }
+
   /** One-stop per-document stats frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -111,6 +111,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(banded == exact, s"banded ${banded.size} vs exact ${exact.size}")
   }
 
+  test("tfidf: analytic values on a 3-doc corpus") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextStats.tfidf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def idf(df: Long) = math.log(4.0 / (df + 1)) + 1.0 // N = 3
+    assert(out((1L, "a")) == ((2L, 2L, 2 * idf(2))))
+    assert(out((1L, "b")) == ((1L, 1L, 1 * idf(1))))
+    assert(out((2L, "c")) == ((1L, 2L, 1 * idf(2))))
+    assert(out((3L, "c")) == ((3L, 2L, 3 * idf(2))))
+    assert(out.size == 5)
+  }
+
   test("token counting and ratios are consistent") {
     import spark.implicits._
     val d = Seq((1L, "Hello, world! 42 times."), (2L, "")).toDF("doc_id", "text")
