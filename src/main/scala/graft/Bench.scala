@@ -155,7 +155,8 @@ object Bench {
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + prSec
+    // the -1.0 all-runs-errored sentinel must not subtract from the total
+    val total = results.map(_._2).filter(_ >= 0).sum + prSec
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_first":$firstJson,"query_runs":$qraw,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"rmat_bench":{"vertices":$rmatVerts,"edges":${rg.numEdges},"max_out_degree":$maxOutDeg,"p99_out_degree":$p99OutDeg,"prep_sec":$rmatPrepSec%.3f,"pagerank_sec":$rmatPrSec%.3f,"pagerank_runs":[${rmatRuns.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":${rg.numEdges.toDouble * iters / rmatPrSec}%.0f,"cc_sec":$rmatCcSec%.3f,"cc_vertices":$ccRmat},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
     // bare JSON as a stdout line AND a file copy — the driver parses

@@ -41,12 +41,13 @@ object PlanStats {
     df.queryExecution.logical match {
       case lr: LogicalRDD =>
         val st = lr.computeStats()
-        if (st.sizeInBytes <= Cap) df
+        if (st.sizeInBytes <= Cap && st.rowCount.forall(_ <= Cap)) df
         else {
           val session = df.sparkSession.asInstanceOf[SparkSession]
           val clamped = new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(
-            session, Some(st.copy(sizeInBytes = Cap)), None)
+            session, Some(st.copy(sizeInBytes = st.sizeInBytes.min(Cap),
+              rowCount = st.rowCount.map(_.min(Cap)))), None)
           Dataset.ofRows(session, clamped)
         }
       case _ => df
