@@ -103,20 +103,25 @@ object TextStats {
     * containing the token, idf = ln((N+1)/(df+1)) + 1 (smoothed, never
     * zero or negative), tfidf = tf·idf.
     *
-    * Scale shape: two map-side-combined aggregations (doc-token tf,
-    * token df) and one equi-join on token — no cross join, no driver
-    * action (N rides along as a 1-row broadcast). Token df is Zipf-skewed
-    * at corpus scale; the join key is the token itself so AQE's skew
-    * split applies, and stop-token rows can be pre-filtered by a df cap
-    * downstream. */
+    * Scale shape: ONE corpus scan — tf is a map-side-combined
+    * aggregation, and df comes from a count-only window over the tf frame
+    * partitioned by token (df = tf rows per token), NOT a self-join whose
+    * second branch would re-scan and re-tokenize the corpus (Catalyst
+    * does not dedupe the shared subtree — verified in the physical plan).
+    * The token partitioning the window needs is the same colocation the
+    * join would have required; N rides along as a 1-row broadcast, no
+    * driver action. Token frequency is Zipf-skewed at corpus scale —
+    * stop-token partitions are large but the unordered count window is
+    * one streaming pass per partition; pre-filter by a df cap downstream
+    * if stop tokens aren't wanted at all. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokensWs(col(textCol))).as("token"))
     val n = docs.agg(count(lit(1)).as("N"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         (col("tf") * (log((col("N") + 1).cast("double") / (col("df") + 1)) + 1.0))
