@@ -70,6 +70,48 @@ class ResumeSpec extends SparkTestBase {
     assert(resumed == full)
   }
 
+  test("generic Pregel.iterate resumed mid-run matches an uninterrupted " +
+      "run (min-label CC on the combinator, checkpointed supersteps)") {
+    import graft.graph.{PreparedGraph, Pregel}
+    val pairs = randomEdges(17, n = 80, m = 80)
+    val dir = java.nio.file.Files.createTempDirectory("resume_pregel").toString
+    val ck = CheckpointConfig(dir, "ml1", every = 1)
+    def run(g: PreparedGraph, maxIter: Int, resume: Boolean) = {
+      val init = g.vertices.select(col("id"), col("id").as("label"),
+        lit(true).as("changed"))
+      def vprog(st: org.apache.spark.sql.DataFrame,
+          ms: org.apache.spark.sql.DataFrame) =
+        st.join(ms, Seq("id"), "left").select(col("id"),
+          least(col("label"), coalesce(col("m"), col("label"))).as("label"),
+          coalesce(col("m") < col("label"), lit(false)).as("changed"))
+      Pregel.iterate(g, init, Some(col("src_label")), Some(col("dst_label")),
+        Seq(min("msg").as("m")), vprog,
+        Pregel.Config(maxIter = maxIter, sendersPred = Some(col("changed")),
+          checkpoint = Some(ck), resume = resume, algo = "minlabel_resume"))
+        .select("id", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val g = PreparedGraph(edgesDF(pairs))
+    run(g, maxIter = 2, resume = false) // interrupted after superstep 2
+    val resumed = run(g, maxIter = Int.MaxValue, resume = true)
+    // uninterrupted twin under a fresh checkpoint namespace
+    val g2 = PreparedGraph(edgesDF(pairs))
+    val init2 = g2.vertices.select(col("id"), col("id").as("label"),
+      lit(true).as("changed"))
+    def vprog2(st: org.apache.spark.sql.DataFrame,
+        ms: org.apache.spark.sql.DataFrame) =
+      st.join(ms, Seq("id"), "left").select(col("id"),
+        least(col("label"), coalesce(col("m"), col("label"))).as("label"),
+        coalesce(col("m") < col("label"), lit(false)).as("changed"))
+    val full = Pregel.iterate(g2, init2, Some(col("src_label")),
+      Some(col("dst_label")), Seq(min("msg").as("m")), vprog2,
+      Pregel.Config(sendersPred = Some(col("changed")), algo = "minlabel_full"))
+      .select("id", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g.unpersist(); g2.unpersist()
+    assert(resumed == full, "resumed combinator run diverged from uninterrupted")
+  }
+
   test("superstep log has per-partition rows and wall times") {
     val edges = edgesDF(randomEdges(8, n = 50, m = 150))
     val dir = java.nio.file.Files.createTempDirectory("sslog").toString
