@@ -273,6 +273,90 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a string-array (token) column in ONE pass — the
+  * native replacement for the builtin-HOF vote accumulation (per token a
+  * `zip_with` over a 64-slot array through interpreted lambdas — the
+  * measured q_simhash_pairs hot spot, ~64 boxed lambda evaluations per
+  * token).
+  *
+  * Default mode: one XXH64 (seed 42 — bit-identical to the builtin
+  * `xxhash64(string)`) per token, bit j of the hash votes ±1 on signature
+  * bit j. Portable mode (ORACLE contract — graft.textops.PortableHash):
+  * four character-polynomial hashes per token (multipliers
+  * 131/137/139/149 mod the 31-bit prime), signature bit (16c + b) votes
+  * with bit b of hash c — exactly the DuckDB-reproducible family the
+  * portable HOF formulation defined; both modes produce bit-identical
+  * values to their HOF twins (pinned by test). Ties (vote sum 0) leave
+  * the bit clear. */
+case class SimHashSignature(child: Expression, portable: Boolean = false)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_simhash"
+
+  private val P = 2147483629L
+  private val Mults = Array(131L, 137L, 139L, 149L)
+
+  /** Shared by eval and the codegen'd call. */
+  def computeSig(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (portable) {
+          val bytes = s.getBytes
+          var c = 0
+          while (c < 4) {
+            val m = Mults(c)
+            var h = 0L
+            var b = 0
+            while (b < bytes.length) { h = (h * m + (bytes(b) & 0xffL)) % P; b += 1 }
+            var bit = 0
+            while (bit < 16) {
+              votes(16 * c + bit) += (((h >>> bit) & 1L).toInt * 2) - 1
+              bit += 1
+            }
+            c += 1
+          }
+        } else {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+          var j = 0
+          while (j < 64) {
+            votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    computeSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this,
+      classOf[SimHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeSig($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Elementwise sum of array<double> vectors as a native typed aggregate —
   * the M-step primitive for distributed (spherical) k-means.
   *
@@ -381,4 +465,9 @@ object VectorExpressions {
   def minhash(a: Column, numHashes: Int, portable: Boolean = false): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a),
       numHashes, portable))
+
+  /** One-pass 64-bit SimHash of a token-array column. */
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    ExpressionUtils.column(SimHashSignature(ExpressionUtils.expression(tokens),
+      portable))
 }

@@ -194,41 +194,27 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per bit position, sign of the
     * ±1 vote sum of token hashes. Returns a LONG.
     *
-    * Single pass over the tokens: hash each token ONCE (`transform`), then
-    * one `aggregate` accumulating all 64 vote counters per token — not 64
-    * aggregate passes each re-hashing every token (the round-1 shape,
-    * measured as the q_simhash_pairs hot spot). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextStats.tokensWs(text), t => xxhash64(t))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
-        a + call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) * 2L - 1L))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+    * Native one-pass expression (graft.functions.SimHashSignature): each
+    * token XXH64'd once (bit-identical to builtin `xxhash64(string)`),
+    * all 64 vote counters updated in a tight int[] loop. Replaces the r3
+    * builtin-HOF formulation (one `zip_with` over a 64-slot boxed array
+    * per token through interpreted lambdas — the measured q_simhash_pairs
+    * hot spot); the HOF formula survives as the bit-identity pin in
+    * TextOpsSpec. */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions
+      .simhash(TextStats.tokensWs(text))
 
   /** Portable 64-bit SimHash (ORACLE MODE — [[PortableHash]]): four
     * character-polynomial hashes per token (multipliers 131/137/139/149
     * mod P), bit (16c + b) of the signature votes with bit b of hash c —
     * so the four 16-bit chunks the Hamming banding uses are DIRECTLY the
     * low-16-bit views DuckDB computes with integer div/mod, no 64-bit
-    * wraparound anywhere on the oracle side. Same vote/sign pipeline as
-    * [[simhash]]. */
-  def simhashPortable(text: Column): Column = {
-    val mults = Seq(131L, 137L, 139L, 149L)
-    val hquad = transform(TextStats.tokensWs(text),
-      t => array(mults.map(m => PortableHash.charPoly(t, m)): _*))
-    val votes = aggregate(hquad, array_repeat(lit(0L), 64),
-      (acc, hs) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
-        a + call_function("shiftright", element_at(hs, (j / 16 + 1).cast("int")),
-          (j % 16).cast("int")).bitwiseAND(1L) * 2L - 1L))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+    * wraparound anywhere on the oracle side. Same native one-pass
+    * expression as [[simhash]], portable family. */
+  def simhashPortable(text: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions
+      .simhash(TextStats.tokensWs(text), portable = true)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * by the pigeonhole band trick, verified with bit_count(xor).

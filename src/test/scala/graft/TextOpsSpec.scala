@@ -74,6 +74,43 @@ class TextOpsSpec extends SparkTestBase {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("native SimHashSignature is bit-identical to the builtin-HOF " +
+      "formulation in BOTH hash families") {
+    import org.apache.spark.sql.Column
+    // the r3 HOF formulations, kept here as the independent reference
+    def hofDefault(text: Column): Column = {
+      val hashes = transform(TextStats.tokensWs(text), t => xxhash64(t))
+      val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
+          a + call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) * 2L - 1L))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+          when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+    def hofPortable(text: Column): Column = {
+      val mults = Seq(131L, 137L, 139L, 149L)
+      val hquad = transform(TextStats.tokensWs(text),
+        t => array(mults.map(m => graft.textops.PortableHash.charPoly(t, m)): _*))
+      val votes = aggregate(hquad, array_repeat(lit(0L), 64),
+        (acc, hs) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
+          a + call_function("shiftright", element_at(hs, (j / 16 + 1).cast("int")),
+            (j % 16).cast("int")).bitwiseAND(1L) * 2L - 1L))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+          when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+    val t = col("text")
+    val mism = docs.select(
+        (Dedup.simhash(t) =!= hofDefault(t)).as("d"),
+        (Dedup.simhashPortable(t) =!= hofPortable(t)).as("p"))
+      .agg(sum(when(col("d"), 1).otherwise(0)).as("dm"),
+        sum(when(col("p"), 1).otherwise(0)).as("pm")).first
+    assert(mism.getLong(0) == 0L, s"${mism.getLong(0)} default-family mismatches")
+    assert(mism.getLong(1) == 0L, s"${mism.getLong(1)} portable-family mismatches")
+  }
+
   test("simhash: identical docs distance 0; near-dup pairs found") {
     import spark.implicits._
     val d = Seq(
