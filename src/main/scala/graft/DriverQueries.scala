@@ -355,6 +355,88 @@ object DriverQueries {
        | FROM bias b LEFT JOIN errs e ON b.id = e.id""".stripMargin
   }
 
+  /** SVD++ ONE-ITERATION oracle (VERDICT r4 stretch #8): the full SGD
+    * iteration algebra — phase-1 p̃ recompute, phase-2 per-edge error +
+    * update/merge sums, final error pass over the UPDATED factors — was
+    * pinned only by ScalaTest (jar differential / sequential replica);
+    * this query unrolls one complete iteration at rank 2 with the shared
+    * deterministic init as a DuckDB CTE chain, so the iteration math gains
+    * an independent engine check beyond the maxIters=0 path. Output: both
+    * factor slots component-wise + bias + norm (= Σ err² on items). */
+  def qSvdppIter1(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = graft.algos.SVDPlusPlus.run(ratingEdges(spark, dir),
+      graft.algos.SVDPlusPlus.Conf(rank = 2, maxIters = 1),
+      initFactors = Some((SvdV1, SvdV2)))
+    val out = state.select(col("id"),
+      round(element_at(col("factor"), 1), 6).as("f1"),
+      round(element_at(col("factor"), 2), 6).as("f2"),
+      round(element_at(col("factor2"), 1), 6).as("t1"),
+      round(element_at(col("factor2"), 2), 6).as("t2"),
+      round(col("bias"), 6).as("bias"),
+      round(col("norm"), 6).as("norm"))
+    state.unpersist(false)
+    out
+  }
+
+  /** Independent rank-2 unroll of one SVD++ iteration. Conf defaults:
+    * γ1 = γ2 = 0.007, γ6 = 0.005, γ7 = 0.015 (reference defaults); init
+    * factor = (0.1, 0.2), factor2 = (0.3, 0.4) shared by every vertex.
+    * The graph is bipartite with disjoint id ranges (customers < 1M ≤
+    * suppliers), so src vertices are exactly the phase-1 senders. */
+  val qSvdppIter1Sql: String = {
+    val (p1, p2) = (SvdV1(0), SvdV1(1))
+    val (y1, y2) = (SvdV2(0), SvdV2(1))
+    val g2 = 0.007; val reg = 0.015 * 0.007 // γ2, γ7·γ2
+    s"""WITH redges AS ($ratingEdgesSql),
+       | mu AS (SELECT avg(rating) AS u FROM redges),
+       | inc AS (SELECT src AS id, rating FROM redges
+       |   UNION ALL SELECT dst, rating FROM redges),
+       | st0 AS (SELECT id, count(*) AS deg, avg(rating) AS ravg
+       |   FROM inc GROUP BY id),
+       | init AS (SELECT id, ravg - (SELECT u FROM mu) AS b0,
+       |   1.0/sqrt(deg) AS nrm FROM st0),
+       | od AS (SELECT src AS id, count(*) AS n FROM redges GROUP BY src),
+       | ph1 AS (SELECT i.id, $p1 AS p1, $p2 AS p2,
+       |    CASE WHEN o.n IS NOT NULL THEN $p1 + i.nrm * o.n * $y1 ELSE $y1 END AS t1,
+       |    CASE WHEN o.n IS NOT NULL THEN $p2 + i.nrm * o.n * $y2 ELSE $y2 END AS t2,
+       |    i.b0, i.nrm
+       |   FROM init i LEFT JOIN od o ON i.id = o.id),
+       | ed AS (SELECT e.src, e.dst,
+       |    su.t1 AS ut1, su.t2 AS ut2, su.b0 AS ub, su.nrm AS un,
+       |    su.p1 AS up1, su.p2 AS up2,
+       |    si.p1 AS iq1, si.p2 AS iq2, si.t1 AS iy1, si.t2 AS iy2, si.b0 AS ib,
+       |    e.rating - least(greatest((SELECT u FROM mu) + su.b0 + si.b0
+       |      + si.p1*su.t1 + si.p2*su.t2, 0.0), 5.0) AS err
+       |   FROM redges e JOIN ph1 su ON e.src = su.id JOIN ph1 si ON e.dst = si.id),
+       | msgs AS (
+       |   SELECT src AS vid,
+       |     err*iq1*$g2 - $reg*up1 AS a11, err*iq2*$g2 - $reg*up2 AS a12,
+       |     err*un*iq1*$g2 - $reg*iy1 AS a21, err*un*iq2*$g2 - $reg*iy2 AS a22,
+       |     (err - 0.005*ub)*0.007 AS b FROM ed
+       |   UNION ALL
+       |   SELECT dst,
+       |     err*ut1*$g2 - $reg*iq1, err*ut2*$g2 - $reg*iq2,
+       |     err*un*iq1*$g2 - $reg*iy1, err*un*iq2*$g2 - $reg*iy2,
+       |     (err - 0.005*ib)*0.007 FROM ed),
+       | upd AS (SELECT vid, sum(a11) AS s11, sum(a12) AS s12,
+       |    sum(a21) AS s21, sum(a22) AS s22, sum(b) AS sb
+       |   FROM msgs GROUP BY vid),
+       | st2 AS (SELECT h.id,
+       |    h.p1 + coalesce(u.s11, 0) AS f1, h.p2 + coalesce(u.s12, 0) AS f2,
+       |    h.t1 + coalesce(u.s21, 0) AS g1, h.t2 + coalesce(u.s22, 0) AS g2,
+       |    h.b0 + coalesce(u.sb, 0) AS b1, h.nrm
+       |   FROM ph1 h LEFT JOIN upd u ON h.id = u.vid),
+       | fin AS (SELECT e.dst AS vid,
+       |    power(e.rating - least(greatest((SELECT u FROM mu) + su.b1 + si.b1
+       |      + si.f1*su.g1 + si.f2*su.g2, 0.0), 5.0), 2) AS se
+       |   FROM redges e JOIN st2 su ON e.src = su.id JOIN st2 si ON e.dst = si.id),
+       | es AS (SELECT vid, sum(se) AS errsum FROM fin GROUP BY vid)
+       | SELECT s.id, round(s.f1, 6) AS f1, round(s.f2, 6) AS f2,
+       |  round(s.g1, 6) AS t1, round(s.g2, 6) AS t2,
+       |  round(s.b1, 6) AS bias, round(coalesce(es.errsum, s.nrm), 6) AS norm
+       | FROM st2 s LEFT JOIN es ON s.id = es.vid""".stripMargin
+  }
+
   // ------------------------------------------------------------- triangles
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame =

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_connected_components" -> (DriverQueries.qConnectedComponents _),
     "q_scc" -> (DriverQueries.qScc _),
     "q_svdpp" -> (DriverQueries.qSvdpp _),
+    "q_svdpp_iter1" -> (DriverQueries.qSvdppIter1 _),
     "q_triangles" -> (DriverQueries.qTriangles _),
     "q_triangles_total" -> (DriverQueries.qTrianglesTotal _),
     "q_label_propagation" -> (DriverQueries.qLabelPropagation _),
@@ -61,6 +62,9 @@ object SparkEntry {
     "q_connected_components" -> DriverQueries.qConnectedComponentsSql,
     "q_scc" -> DriverQueries.qSccSql,
     "q_svdpp" -> DriverQueries.qSvdppSql,
+    // one full SGD iteration unrolled as a rank-2 DuckDB CTE chain (r4
+    // stretch #8): the iteration algebra gains an engine-independent check
+    "q_svdpp_iter1" -> DriverQueries.qSvdppIter1Sql,
     "q_triangles" -> DriverQueries.qTrianglesSql,
     "q_triangles_total" -> DriverQueries.qTrianglesTotalSql,
     "q_label_propagation" -> DriverQueries.qLabelPropagationSql,

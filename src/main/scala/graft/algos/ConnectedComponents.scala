@@ -45,7 +45,10 @@ object ConnectedComponents {
       checkpoint: Option[CheckpointConfig] = None,
       resume: Boolean = false)
 
-  /** (id, component) for every vertex appearing in `edges`. */
+  /** (id, component) for every vertex appearing in `edges`.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
     // one pass over the (possibly expensive) input plan: the vertex
@@ -96,8 +99,9 @@ object ConnectedComponents {
       e = next
       converged = sig == sigPrev
       sigPrev = sig
-      graft.runtime.Trace.log(
-        f"cc round=$round edges=${sig._1} p=$p sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      graft.runtime.Trace.record(f"cc_round_$round%02d",
+        (System.nanoTime() - t0) / 1e9)
+      graft.runtime.Trace.log(f"cc round=$round edges=${sig._1} p=$p")
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(e, c, "cc", round, Double.NaN, sig._1,
           (System.nanoTime() - t0) / 1000000)

@@ -37,7 +37,10 @@ object LabelPropagation {
       checkpoint: Option[CheckpointConfig] = None,
       resume: Boolean = false)
 
-  /** (id, label) after `cfg.maxSteps` synchronous supersteps. */
+  /** (id, label) after `cfg.maxSteps` synchronous supersteps.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)

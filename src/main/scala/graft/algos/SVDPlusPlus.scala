@@ -66,7 +66,10 @@ object SVDPlusPlus {
   /** `edges`: (src, dst, rating). Returns (vertex state, μ) where state =
     * (id, factor, factor2, bias, norm) as documented above.
     * `initFactors`: the shared initial (factor, factor2) pair; defaults to
-    * the seeded equivalent of the reference's one-time random draw. */
+    * the seeded equivalent of the reference's one-time random draw.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, conf: Conf = Conf(), seed: Long = 0L,
       initFactors: Option[(Array[Double], Array[Double])] = None,
       numPartitions: Int = 0): (DataFrame, Double) = {

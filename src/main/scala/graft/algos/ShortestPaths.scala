@@ -21,7 +21,10 @@ import graft.runtime.IterationHygiene
   */
 object ShortestPaths {
 
-  /** (id, landmark, distance) for every vertex that reaches a landmark. */
+  /** (id, landmark, distance) for every vertex that reaches a landmark.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, landmarks: Seq[Long], maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     e.count()

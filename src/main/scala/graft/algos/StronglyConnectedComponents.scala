@@ -54,7 +54,10 @@ object StronglyConnectedComponents {
       maxOuterRounds: Int = 200)
 
   /** (id, component) for every vertex appearing in `edges`;
-    * component = min vertex id of the vertex's SCC. */
+    * component = min vertex id of the vertex's SCC.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
     val raw = edges.select(col("src"), col("dst"))

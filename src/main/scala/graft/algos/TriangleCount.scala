@@ -25,7 +25,10 @@ object TriangleCount {
 
   /** (id, triangles) for every vertex of `edges`. The returned frame is
     * materialized (persisted + counted) and all intermediate caches are
-    * released before returning — repeated calls leak nothing. */
+    * released before returning — repeated calls leak nothing.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val canon = graft.graph.EdgeOps.canonicalize(edges)

@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * stored as typed Datasets"; reference analog `graphx.impl.EdgePartition`'s
   * source-clustered arrays, SURVEY.md §1.1).
   *
-  * One row per source vertex: `(bucket, src, degree, dsts sorted)`.
-  * `bucket` is a degree-band (log2 of out-degree) so hubs can be placed,
-  * salted, or processed separately from the long tail; blocks are written
+  * Rows are `(bucket, src, degree, dsts sorted)` — ONE row per source
+  * vertex up to the block-arity cap (`spark.graft.adjacency.maxBlockArity`);
+  * a source whose degree exceeds the cap spans MULTIPLE chunk rows, each
+  * carrying the true total `degree` (no unique-src invariant — see
+  * [[fromEdges]] / [[PreparedGraph.cappedBlocks]]). `bucket` is a
+  * degree-band (log2 of out-degree) so hubs can be placed, salted, or
+  * processed separately from the long tail; blocks are written
   * repartitioned by (bucket, src) so a bucket's blocks are clustered.
   */
 object Adjacency {
@@ -21,7 +25,12 @@ object Adjacency {
     * whose out-degree exceeds `spark.graft.adjacency.maxBlockArity` spans
     * multiple rows, each carrying the TRUE total `degree` (so `bucket` is
     * the true degree band on every chunk). Below the cap — every test/sf
-    * corpus — output is identical to the single-row-per-source layout. */
+    * corpus — output is identical to the single-row-per-source layout.
+    *
+    * EAGER at plan-construction time: the cap decision runs one max-degree
+    * aggregate over `e` (a Spark job), and the returned plan re-reads `e`
+    * once (fast path) or twice (capped path) — persist/cache an expensive
+    * uncached input before calling, as `PreparedGraph`/LPA do (ADVICE r4). */
   def fromEdges(e: DataFrame, cap: Int = 0): DataFrame = {
     val c = if (cap > 0) cap else PreparedGraph.blockCap(e.sparkSession)
     PreparedGraph.cappedBlocks(e, "src", "dst", "degree", "dsts", c, sort = true)

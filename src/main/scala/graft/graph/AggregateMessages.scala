@@ -315,8 +315,9 @@ object Pregel {
           state = rotator.rotate(next, step)
           1L
       }
-      graft.runtime.Trace.log(
-        f"${cfg.algo} superstep=$step active=$active sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      graft.runtime.Trace.record(f"${cfg.algo}_step_$step%02d",
+        (System.nanoTime() - t0) / 1e9)
+      graft.runtime.Trace.log(f"${cfg.algo} superstep=$step active=$active")
       cfg.checkpoint.foreach { c =>
         Checkpoints.logSuperstep(state, c, cfg.algo, step, Double.NaN, active,
           (System.nanoTime() - t0) / 1000000)

@@ -83,7 +83,13 @@ object PreparedGraph {
     * the true total degree, so consumers that explode + divide by degree
     * are unchanged. Fast path: when no vertex exceeds the cap (checked
     * with one cheap map-side-combined aggregate) the plan is the r3
-    * single-shuffle groupBy — small graphs pay nothing. */
+    * single-shuffle groupBy — small graphs pay nothing.
+    *
+    * EAGER: the cap decision is a driver action at construction time, and
+    * the returned plan references `e` once (fast path) or twice (capped) —
+    * callers with an expensive uncached input must persist it first (both
+    * engine call sites, PreparedGraph.apply and LPA, do; public
+    * `Adjacency.fromEdges` documents the same contract — ADVICE r4). */
   private[graft] def cappedBlocks(e: DataFrame, key: String, nbr: String,
       degName: String, listName: String, cap: Int,
       sort: Boolean = false): DataFrame = {

@@ -152,7 +152,16 @@ final class IcebergTableIO(catalog: String, namespace: String = "graft",
         // pre-upgrade legacy one) already holds this ref's history
         if (!exists(df.sparkSession, ref)) w.create()
         else df.writeTo(resolve(df.sparkSession, ref)).append()
-      case _ => w.createOrReplace()
+      case _ =>
+        w.createOrReplace()
+        // single source of truth (ADVICE r4): an overwrite migrates the
+        // ref forward to the hashed name — drop any pre-upgrade
+        // legacy-named table so stale data can't linger and resurface
+        // through resolve() if the hashed table is later dropped
+        val spark = df.sparkSession
+        val legacy = fqLegacy(ref)
+        if (legacy != fq(ref) && spark.catalog.tableExists(legacy))
+          spark.sql(s"DROP TABLE $legacy")
     }
   }
 

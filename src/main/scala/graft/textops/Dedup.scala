@@ -60,9 +60,11 @@ object Dedup {
     // aggregate, the frequency cap, and BOTH sides of the pair join —
     // left as a plan, the regexp-tokenize → shingle pipeline re-evaluates
     // ~4× (Catalyst inlines it into every consumer)
-    val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("s"))
-      .localCheckpoint(true)
+    val sh = graft.runtime.Trace.stage("ngram_shingles") {
+      docs.select(col(idCol).as("id"),
+          explode(shingles(col(textCol), k)).as("s"))
+        .localCheckpoint(true)
+    }
     val filtered0 =
       if (maxShingleFreq <= 0) sh
       else {
@@ -70,7 +72,8 @@ object Dedup {
         sh.join(freq.select("s"), "s")
       }
     // the capped table also feeds both join sides — materialize it too
-    val filtered = if (maxShingleFreq <= 0) filtered0 else filtered0.localCheckpoint(true)
+    val filtered = if (maxShingleFreq <= 0) filtered0
+      else graft.runtime.Trace.stage("ngram_freq_cap") { filtered0.localCheckpoint(true) }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = filtered.select(col("id").as("ia"), col("s"))
     val b = filtered.select(col("id").as("ib"), col("s"))
@@ -83,10 +86,10 @@ object Dedup {
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+    val outCp = graft.runtime.Trace.stage("ngram_pair_join") { out.localCheckpoint(true) }
     releaseLocalCheckpoint(sh)
     if (maxShingleFreq > 0) releaseLocalCheckpoint(filtered)
-    out
+    outCp
   }
 
   // --------------------------------------------------------------- minhash
@@ -126,7 +129,10 @@ object Dedup {
     // regexp-shingle → 128-hash pipeline ~5× (and Catalyst happily
     // inlines the shingle expression into every hash branch) — measured
     // as a 50×+ blowup. localCheckpoint = eager, plan+lineage truncated.
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    // portable mode is ASCII-gated: a non-ASCII doc raises instead of
+    // silently diverging from the DuckDB oracle family (ADVICE r4)
+    val textIn = if (portable) PortableHash.assertAscii(col(textCol)) else col(textCol)
+    val sh = docs.select(col(idCol).as("id"), shingles(textIn, k).as("sh"))
       .localCheckpoint(true)
     val bandHash: (Column, Column) => Column =
       if (portable) (b, sl) => PortableHash.polyCombine(sl, b)
@@ -177,10 +183,11 @@ object Dedup {
     * (candidates were bucket-joined upstream), and CC is the engine's
     * log-round alternating-star algorithm — no driver-side union-find. */
   def dupClusters(pairs: DataFrame): DataFrame =
-    graft.algos.ConnectedComponents
-      .run(pairs.select(col("ia").as("src"), col("ib").as("dst")))
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        (col("id") === col("component")).as("keep"))
+    graft.runtime.Trace.stage("dedup_cc") {
+      graft.algos.ConnectedComponents
+        .run(pairs.select(col("ia").as("src"), col("ib").as("dst")))
+    }.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+      (col("id") === col("component")).as("keep"))
 
   /** Unpersist a localCheckpoint's internal RDD blocks (Dataset.unpersist
     * does not track them — measured run-over-run leak otherwise). */
@@ -211,10 +218,11 @@ object Dedup {
     * so the four 16-bit chunks the Hamming banding uses are DIRECTLY the
     * low-16-bit views DuckDB computes with integer div/mod, no 64-bit
     * wraparound anywhere on the oracle side. Same native one-pass
-    * expression as [[simhash]], portable family. */
+    * expression as [[simhash]], portable family. ASCII-gated
+    * ([[PortableHash.assertAscii]] — ADVICE r4). */
   def simhashPortable(text: Column): Column =
     org.apache.spark.sql.graftvec.VectorExpressions
-      .simhash(TextStats.tokensWs(text), portable = true)
+      .simhash(TextStats.tokensWs(PortableHash.assertAscii(text)), portable = true)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * by the pigeonhole band trick, verified with bit_count(xor).

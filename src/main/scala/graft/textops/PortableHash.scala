@@ -27,6 +27,23 @@ object PortableHash {
     * BIGINT-exact). */
   val P: Long = 2147483629L
 
+  /** ASCII gate for portable mode (ADVICE r4): the NATIVE portable
+    * expressions (MinHashSignature / SimHashSignature, portable family)
+    * hash each string's UTF-8 BYTES in a tight loop, while [[charPoly]]
+    * and the DuckDB twins hash per-character CODEPOINTS — identical on
+    * ASCII, silently divergent on anything else. Rather than let a
+    * non-ASCII corpus produce wrong-but-plausible signatures in oracle
+    * mode, fail loudly: passes the text through when
+    * `octet_length = char_length` (pure-ASCII ⇔ every char is one byte),
+    * raises otherwise. Cost: two codegen'd length calls per row. */
+  def assertAscii(t: Column): Column =
+    when(t.isNull || octet_length(t) === length(t), t)
+      .otherwise(raise_error(concat(
+        lit("portable hash mode is ASCII-only (native loops hash UTF-8 " +
+          "bytes; the DuckDB oracle family hashes codepoints — values " +
+          "would silently diverge). Non-ASCII text: "),
+        substring(t, 1, 48))))
+
   /** Rolling polynomial over a string's character codes mod [[P]].
     * DuckDB twin:
     * `list_reduce(list_prepend(0, list_transform(range(1, length(s)+1),

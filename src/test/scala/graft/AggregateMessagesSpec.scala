@@ -168,6 +168,46 @@ class AggregateMessagesSpec extends SparkTestBase {
     }
   }
 
+  test("Pregel expresses CONVERGENCE (tol) PageRank: combinator ranks " +
+      "match the engine's delta-propagating tol mode to 1e-9 (r4 stretch)") {
+    // the last flagship algorithm not yet reproduced on the public
+    // primitive: delta propagation + active-set send + zero-senders halt
+    for (seed <- 16 to 18) {
+      val pairs = randomEdges(seed, n = 60, m = 200)
+      val g = PreparedGraph(edgesDF(pairs))
+      val resetProb = 0.15; val tol = 1e-4
+      val init = g.vertices.select(col("id"),
+        lit(resetProb).as("rank"), lit(resetProb).as("delta"),
+        lit(true).as("received"))
+      def vprog(state: org.apache.spark.sql.DataFrame,
+          msgs: org.apache.spark.sql.DataFrame) =
+        state.join(msgs.hint("SHUFFLE_HASH"), Seq("id"), "left")
+          .select(col("id"),
+            when(col("m").isNotNull, col("rank") + lit(1 - resetProb) * col("m"))
+              .otherwise(col("rank")).as("rank"),
+            when(col("m").isNotNull, lit(1 - resetProb) * col("m"))
+              .otherwise(col("delta")).as("delta"),
+            col("m").isNotNull.as("received"))
+      val state = Pregel.iterate(g, init,
+        toDst = Some(col("src_delta") / col("src_degree")), toSrc = None,
+        merge = Seq(sum("msg").as("m")), vprog,
+        Pregel.Config(sendersPred = Some(col("received") && col("delta") > tol),
+          fields = TripletFields.Src, algo = "pr_tol_pregel"))
+      // reference normalizeRankSum tail (Σ ranks = |V|)
+      val total = state.agg(sum("rank")).first().getDouble(0)
+      val nv = g.numVertices
+      val ours = state.select(col("id"), (col("rank") * nv / total).as("rank"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      g.unpersist()
+      val engine = graft.algos.PageRank.run(edgesDF(pairs),
+        graft.algos.PageRank.Config(tol = Some(tol)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ours.keySet == engine.keySet, s"seed=$seed vertex sets")
+      engine.foreach { case (id, r) =>
+        assert(math.abs(ours(id) - r) < 1e-9, s"seed=$seed id=$id: ${ours(id)} vs $r") }
+    }
+  }
+
   test("active-set is enforced even when TripletFields excludes the " +
       "originator side (ADVICE r3 medium)") {
     import org.apache.spark.sql.DataFrame

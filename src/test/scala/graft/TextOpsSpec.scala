@@ -162,6 +162,42 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.size == 5)
   }
 
+  test("tfidf: planted hot token (df ≈ N_docs) takes a partial-aggregated " +
+      "df branch — no Window funnels the token through one task (r4 #2)") {
+    import spark.implicits._
+    // one stop token in EVERY doc — the Zipf head that made the r4
+    // token-window a single-task funnel at corpus scale
+    val n = 300
+    val d = (1 to n).map(i => (i.toLong, s"the tok$i")).toDF("doc_id", "text")
+    val out = TextStats.tfidf(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df branch still uses a Window:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"df branch is not map-side combined:\n$plan")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows((1L, "the")) == ((1L, n.toLong)))
+    assert(rows((7L, "tok7")) == ((1L, 1L)))
+    assert(rows.size == 2 * n)
+  }
+
+  test("portable hash mode raises on non-ASCII text instead of silently " +
+      "diverging from the DuckDB oracle family (ADVICE r4)") {
+    import spark.implicits._
+    val bad = Seq((1L, "café au lait"), (2L, "plain ascii")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhashPairs(bad, maxHamming = 3, portable = true).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ASCII")), s"unexpected error: $e")
+    // the same corpus is fine in the default (xxhash64) family
+    assert(Dedup.simhashPairs(bad, maxHamming = 3).count() == 0)
+    // and ASCII-only corpora pass the portable gate unchanged
+    assert(Dedup.simhashPairs(docs.limit(20), maxHamming = 3, portable = true)
+      .count() >= 0)
+  }
+
   test("token counting and ratios are consistent") {
     import spark.implicits._
     val d = Seq((1L, "Hello, world! 42 times."), (2L, "")).toDF("doc_id", "text")
