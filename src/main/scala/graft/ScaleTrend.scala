@@ -43,17 +43,26 @@ object ScaleTrend {
     spark.sparkContext.setLogLevel("WARN")
     val p = 2 * cpus
 
-    // (workload, size, result rows, seconds)
+    // (workload, size, result rows, seconds). The BASE point of each
+    // workload runs TWICE and keeps the min: the first run of a code path
+    // in a fresh JVM pays JIT + codegen warmup that would otherwise
+    // inflate the base and understate the exponent (measured: a warmup-
+    // contaminated pagerank base made 10x look FREE, exponent -0.02).
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
-    def measure(name: String, size: Long)(run: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = run
-      val dt = (System.nanoTime() - t0) / 1e9
+    def measure(name: String, size: Long, runs: Int = 1)(run: => Long): Unit = {
+      val timed = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = run
+        val dt = (System.nanoTime() - t0) / 1e9
+        // full hygiene between points: nothing carries over
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (rows, dt)
+      }
+      val (rows, dt) = timed.minBy(_._2)
       points += ((name, size, rows, dt))
-      System.err.println(f"[trend] $name size=$size rows=$rows sec=$dt%.1f")
-      // full hygiene between points: nothing carries over
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.err.println(f"[trend] $name size=$size rows=$rows sec=$dt%.1f " +
+        s"raw=${timed.map(t => f"${t._2}%.1f").mkString("/")}")
     }
 
     def drain(df: org.apache.spark.sql.DataFrame): Long = {
@@ -61,20 +70,20 @@ object ScaleTrend {
     }
 
     val baseV = sys.env.getOrElse("SPARK_GRAFT_TREND_VERTS", "30000").toLong
-    for (v <- Seq(baseV, baseV * mult)) measure("pagerank", v) {
+    for (v <- Seq(baseV, baseV * mult)) measure("pagerank", v, runs = if (v == baseV) 2 else 1) {
       val g = PreparedGraph(GraphGen.logNormalEdges(spark, v, numPartitions = p), p)
       val n = drain(PageRank.runPrepared(g, PageRank.Config(numIter = 5)))
       g.unpersist(); n
     }
 
     val ccV = sys.env.getOrElse("SPARK_GRAFT_TREND_CC_VERTS", "20000").toLong
-    for (v <- Seq(ccV, ccV * mult)) measure("cc", v) {
+    for (v <- Seq(ccV, ccV * mult)) measure("cc", v, runs = if (v == ccV) 2 else 1) {
       drain(ConnectedComponents.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         ConnectedComponents.Config(numPartitions = p)))
     }
 
-    for (v <- Seq(baseV, baseV * mult)) measure("lpa", v) {
+    for (v <- Seq(baseV, baseV * mult)) measure("lpa", v, runs = if (v == baseV) 2 else 1) {
       drain(LabelPropagation.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         LabelPropagation.Config(maxSteps = 2, numPartitions = p)))
@@ -83,7 +92,7 @@ object ScaleTrend {
     // sparser graph (mu=1.5): triangle work grows with per-edge shared
     // neighborhoods, the realistic regime for the degree-ordered plan
     val triV = sys.env.getOrElse("SPARK_GRAFT_TREND_TRI_VERTS", "100000").toLong
-    for (v <- Seq(triV, triV * mult)) measure("triangles", v) {
+    for (v <- Seq(triV, triV * mult)) measure("triangles", v, runs = if (v == triV) 2 else 1) {
       drain(TriangleCount.run(
         GraphGen.logNormalEdges(spark, v, mu = 1.5, sigma = 1.0, numPartitions = p)))
     }
@@ -92,7 +101,7 @@ object ScaleTrend {
     val sccE = sys.env.getOrElse("SPARK_GRAFT_TREND_SCC_EDGES", "250000").toLong
     for ((e, v) <- Seq((sccE, 32768L), (sccE * mult, 32768L * mult.toLong))) {
       val v2 = java.lang.Long.highestOneBit(v) // round down to power of two
-      measure("scc", e) {
+      measure("scc", e, runs = if (e == sccE) 2 else 1) {
         drain(StronglyConnectedComponents.run(
           GraphGen.rmatEdges(spark, v2, e, numPartitions = p),
           StronglyConnectedComponents.Config(numPartitions = p)))
@@ -102,7 +111,7 @@ object ScaleTrend {
     // dedup SCALE path: MinHash-LSH pairs → engine CC clusters, over a
     // generated corpus with planted 1-in-97 exact duplicates
     val docsN = sys.env.getOrElse("SPARK_GRAFT_TREND_DOCS", "20000").toLong
-    for (nd <- Seq(docsN, docsN * mult)) measure("dedup_clusters_minhash", nd) {
+    for (nd <- Seq(docsN, docsN * mult)) measure("dedup_clusters_minhash", nd, runs = if (nd == docsN) 2 else 1) {
       val base = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
@@ -123,7 +132,7 @@ object ScaleTrend {
     // cap bounds the constant, not the asymptotic); run at the SAME sizes
     // so the exponent is measured, not asserted
     val exN = sys.env.getOrElse("SPARK_GRAFT_TREND_EXACT_DOCS", "5000").toLong
-    for (nd <- Seq(exN, exN * mult)) measure("dedup_pairs_exact_baseline", nd) {
+    for (nd <- Seq(exN, exN * mult)) measure("dedup_pairs_exact_baseline", nd, runs = if (nd == exN) 2 else 1) {
       val corpus = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
