@@ -208,6 +208,54 @@ class AggregateMessagesSpec extends SparkTestBase {
     }
   }
 
+  test("convergence-mode PageRank runs ONE job per superstep (halt count " +
+      "fused into the rotation's observe, r4 what's-wrong #3): tol-mode " +
+      "job count tracks static mode, not 2x") {
+    // directed path: every vertex's delta decays by 0.85 per superstep, so
+    // tol = 0.005 halts after ceil(ln(0.15/0.005)/ln(1/0.85)) = 21 rounds
+    // (path length 30 > 21 never cuts flow first). AQE is disabled for the
+    // measurement so one action = exactly one job; pre-fusion the loop ran
+    // rotation + a separate active-count per superstep (= static + ~21).
+    val pairs = (0L until 29L).map(i => (i, i + 1))
+    val g = graft.graph.PreparedGraph(edgesDF(pairs))
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(2000) } // let the async listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val jStatic = jobsDuring {
+        graft.algos.PageRank.runPrepared(g,
+          graft.algos.PageRank.Config(numIter = 21)).unpersist(false)
+      }
+      val jTol = jobsDuring {
+        graft.algos.PageRank.runPrepared(g,
+          graft.algos.PageRank.Config(tol = Some(0.005))).unpersist(false)
+      }
+      // sanity: both actually iterated ~21 supersteps (one rotation job each)
+      assert(jStatic >= 21, s"static mode ran only $jStatic jobs")
+      assert(jTol >= 21, s"tol mode ran only $jTol jobs")
+      // load-bearing: the fused tol loop costs ~what static costs; the
+      // pre-fusion shape (rotation + count per superstep) would be
+      // >= jStatic + 21 - slack and fail this by a wide margin
+      assert(jTol <= jStatic + 6,
+        s"tol mode issued $jTol jobs vs static $jStatic — per-superstep " +
+          "active-count job is back")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      g.unpersist()
+    }
+  }
+
   test("active-set is enforced even when TripletFields excludes the " +
       "originator side (ADVICE r3 medium)") {
     import org.apache.spark.sql.DataFrame
