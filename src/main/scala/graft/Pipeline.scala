@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, PageRank}
+import graft.graph.{EdgeOps, PreparedGraph}
+import graft.ids.UrlDict
+import graft.pages.{Extract, PageGen}
+import graft.runtime.CheckpointConfig
+import graft.sources.TableIO
+
+/** The north-star flow as ONE spark-submit entry point: page table →
+  * byte-identical text/outlink extraction → xxhash64 url→id encoding
+  * (collision-audited) → degree-capped prepared adjacency → checkpointed
+  * PageRank + connected components → results written back through the
+  * TableIO seam (parquet locally; Iceberg catalog tables when
+  * `spark.graft.io=iceberg` is configured — every durable read/write in
+  * this main goes through the seam).
+  *
+  * Restart semantics: every superstep logs per-partition lineage/metrics
+  * and snapshots state on the checkpoint cadence, so re-running with
+  * `--resume` continues a killed job from the latest committed snapshot
+  * (bit-identical to never having stopped — ResumeSpec pins this); a
+  * completed stage (pages, edges, ranks, components) is not recomputed.
+  *
+  * Usage:
+  *   bin/spark-submit-bench.sh graft.Pipeline <workDir> [numPages] [--resume]
+  */
+object Pipeline {
+
+  final case class Result(pages: Long, edges: Long, vertices: Long,
+      components: Long, rankSum: Double, resumedFromSuperstep: Int)
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.nonEmpty, "usage: graft.Pipeline <workDir> [numPages] [--resume]")
+    val workDir = pos(0)
+    val numPages = if (pos.length > 1) pos(1).toLong else 20000L
+    val resume = args.contains("--resume")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, workDir, numPages, resume)
+    println(s"""{"metric":"pipeline","pages":${r.pages},"edges":${r.edges},""" +
+      s""""vertices":${r.vertices},"components":${r.components},""" +
+      f""""rank_sum":${r.rankSum}%.6f,"resumed_from":${r.resumedFromSuperstep}}""")
+    spark.stop()
+  }
+
+  /** Execute (or resume) the pipeline under `workDir`. Idempotent per
+    * stage: a stage whose output table already exists is skipped when
+    * `resume` is set, recomputed (overwritten) otherwise. */
+  def run(spark: SparkSession, workDir: String, numPages: Long,
+      resume: Boolean = false, prIters: Int = 20): Result = {
+    val io = TableIO.forSession(spark)
+    val pagesRef = s"$workDir/pages"
+    val edgesRef = s"$workDir/edges"
+    val ranksRef = s"$workDir/ranks"
+    val compsRef = s"$workDir/components"
+
+    // stage 1: page table (generated here; a real deployment points
+    // pagesRef at the crawl's Iceberg table and skips generation)
+    if (!(resume && io.exists(spark, pagesRef))) {
+      val p = PageGen.pages(spark, PageGen.Config(numPages = numPages))
+      PageGen.write(p, pagesRef)
+    }
+    val pages = io.read(spark, pagesRef)
+    val nPages = pages.count()
+
+    // stage 2: extraction + encoding (pure expressions; the url→id dict
+    // is audited once per corpus build — collisions fail loudly)
+    if (!(resume && io.exists(spark, edgesRef))) {
+      require(Extract.textInvariantViolations(pages) == 0,
+        "stored text is not byte-identical to re-extraction")
+      UrlDict.auditCollisions(UrlDict.dict(pages))
+      EdgeOps.writeEdges(EdgeOps.encode(Extract.outlinks(pages)), edgesRef)
+    }
+    val edges = EdgeOps.readEdges(spark, edgesRef)
+
+    // stage 3: iterative operators, checkpointed + resumable
+    val ck = CheckpointConfig(s"$workDir/checkpoints", "pipeline", every = 5)
+    val resumedFrom =
+      if (resume)
+        graft.runtime.Checkpoints.latest(spark, ck, "pagerank").map(_._1).getOrElse(0)
+      else 0
+    val g = PreparedGraph(edges)
+    val (nEdges, nVertices) = (g.numEdges, g.numVertices)
+    val rankSum =
+      if (resume && io.exists(spark, ranksRef))
+        io.read(spark, ranksRef).agg(sum("rank")).first().getDouble(0)
+      else {
+        val ranks = PageRank.runPrepared(g,
+          PageRank.Config(numIter = prIters, checkpoint = Some(ck), resume = resume))
+        io.write(ranks, ranksRef)
+        val s = ranks.agg(sum("rank")).first().getDouble(0)
+        ranks.unpersist(false)
+        s
+      }
+    val components =
+      if (resume && io.exists(spark, compsRef))
+        io.read(spark, compsRef).agg(countDistinct("component")).first().getLong(0)
+      else {
+        val cc = ConnectedComponents.run(g.edges,
+          ConnectedComponents.Config(checkpoint = Some(ck), resume = resume))
+        io.write(cc, compsRef)
+        val n = cc.select("component").distinct().count()
+        cc.unpersist(false)
+        n
+      }
+    g.unpersist()
+    Result(nPages, nEdges, nVertices, components, rankSum, resumedFrom)
+  }
+}

@@ -246,8 +246,9 @@ object StronglyConnectedComponents {
             col("dst") === col("rd"), "left_anti")
         val (e3, n3) = rotateCounted(rotE, remaining.coalesce(p), nextStep())
         e = e3; eRows = n3
-        graft.runtime.Trace.log(f"scc round=$round edges_left=$eRows " +
-          f"steps=$step sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        graft.runtime.Trace.record(f"scc_round_$round%02d",
+          (System.nanoTime() - t0) / 1e9)
+        graft.runtime.Trace.log(f"scc round=$round edges_left=$eRows steps=$step")
       }
     }
     // Worst case, outer rounds = the condensation chain length (an

@@ -49,6 +49,30 @@ class PipelineSpec extends SparkTestBase {
     assert(diff == 0.0)
   }
 
+  test("north-star Pipeline entry point: pages → extract → encode → " +
+      "checkpointed PR+CC → TableIO sinks; --resume re-run recomputes " +
+      "nothing and agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    val r1 = graft.Pipeline.run(spark, dir, numPages = 1500,
+      resume = false, prIters = 8)
+    assert(r1.pages == 1500 && r1.edges > 1000 && r1.components >= 1)
+    assert(math.abs(r1.rankSum - r1.vertices) < 1e-6) // Σrank = |V|
+    assert(spark.read.parquet(s"$dir/ranks").count() == r1.vertices)
+    assert(spark.read.parquet(s"$dir/components").count() == r1.vertices)
+    // per-superstep lineage/metrics log landed through the seam
+    val ckCfg = graft.runtime.CheckpointConfig(s"$dir/checkpoints", "pipeline")
+    val logMax = graft.runtime.Checkpoints.readLog(spark, ckCfg, "pagerank")
+      .agg(max("superstep")).first().getInt(0)
+    assert(logMax == 8, s"superstep log max $logMax")
+    // resume over the COMPLETED run: skips every stage (outputs exist),
+    // reports the latest snapshot (cadence 5 → superstep 5), and agrees
+    val r2 = graft.Pipeline.run(spark, dir, numPages = 1500,
+      resume = true, prIters = 8)
+    assert(r2.resumedFromSuperstep == 5, s"resumed from ${r2.resumedFromSuperstep}")
+    assert(math.abs(r2.rankSum - r1.rankSum) < 1e-9 &&
+      r2.components == r1.components && r2.edges == r1.edges)
+  }
+
   test("personalized PageRank differential vs reference") {
     import org.apache.spark.graphx.{Graph => XGraph}
     val pairs = randomEdges(99, n = 40, m = 120)
