@@ -107,9 +107,12 @@ object Bench {
       .mkString("{", ",", "}")
     val storageEnd = storageSnap()
 
-    // phase boundary: drop every cached frame the query phase left behind
-    // (memoized driver graphs + doc pair frames included) so the headline
-    // measures the engine, not the residue of 29 queries in the same JVM
+    // phase boundary: stop stage collection (the headline phase's
+    // supersteps would otherwise queue unread forever) and drop every
+    // cached frame the query phase left behind (memoized driver graphs +
+    // doc pair frames included) so the headline measures the engine, not
+    // the residue of 30 queries in the same JVM
+    graft.runtime.Trace.stopCollecting()
     DriverQueries.clearMemo(spark)
     DocQueries.clearMemo(spark)
     spark.catalog.clearCache()

@@ -56,8 +56,12 @@ object Pipeline {
   }
 
   /** Execute (or resume) the pipeline under `workDir`. Idempotent per
-    * stage: a stage whose output table already exists is skipped when
-    * `resume` is set, recomputed (overwritten) otherwise. */
+    * stage: a stage whose output table exists AND COMMITTED
+    * (`TableIO.committed` — a torn, killed-mid-write parquet dir is NOT
+    * reused as a completed stage) is skipped when `resume` is set,
+    * recomputed (overwritten) otherwise. Graph preparation only runs if an
+    * iterative stage still needs it, so resuming a fully-completed run
+    * recomputes nothing but two output scans. */
   def run(spark: SparkSession, workDir: String, numPages: Long,
       resume: Boolean = false, prIters: Int = 20): Result = {
     val io = TableIO.forSession(spark)
@@ -65,10 +69,11 @@ object Pipeline {
     val edgesRef = s"$workDir/edges"
     val ranksRef = s"$workDir/ranks"
     val compsRef = s"$workDir/components"
+    def done(ref: String): Boolean = resume && io.committed(spark, ref)
 
     // stage 1: page table (generated here; a real deployment points
     // pagesRef at the crawl's Iceberg table and skips generation)
-    if (!(resume && io.exists(spark, pagesRef))) {
+    if (!done(pagesRef)) {
       val p = PageGen.pages(spark, PageGen.Config(numPages = numPages))
       PageGen.write(p, pagesRef)
     }
@@ -77,7 +82,7 @@ object Pipeline {
 
     // stage 2: extraction + encoding (pure expressions; the url→id dict
     // is audited once per corpus build — collisions fail loudly)
-    if (!(resume && io.exists(spark, edgesRef))) {
+    if (!done(edgesRef)) {
       require(Extract.textInvariantViolations(pages) == 0,
         "stored text is not byte-identical to re-extraction")
       UrlDict.auditCollisions(UrlDict.dict(pages))
@@ -85,16 +90,21 @@ object Pipeline {
     }
     val edges = EdgeOps.readEdges(spark, edgesRef)
 
-    // stage 3: iterative operators, checkpointed + resumable
+    // stage 3: iterative operators, checkpointed + resumable. Graph prep
+    // (edge cache + degree aggregate + adjacency build) is the expensive
+    // shared step — build lazily so a run whose iterative outputs all
+    // committed never pays it again
     val ck = CheckpointConfig(s"$workDir/checkpoints", "pipeline", every = 5)
     val resumedFrom =
       if (resume)
         graft.runtime.Checkpoints.latest(spark, ck, "pagerank").map(_._1).getOrElse(0)
       else 0
-    val g = PreparedGraph(edges)
-    val (nEdges, nVertices) = (g.numEdges, g.numVertices)
+    var gBuilt: Option[PreparedGraph] = None
+    def g: PreparedGraph = gBuilt.getOrElse {
+      val built = PreparedGraph(edges); gBuilt = Some(built); built
+    }
     val rankSum =
-      if (resume && io.exists(spark, ranksRef))
+      if (done(ranksRef))
         io.read(spark, ranksRef).agg(sum("rank")).first().getDouble(0)
       else {
         val ranks = PageRank.runPrepared(g,
@@ -105,7 +115,7 @@ object Pipeline {
         s
       }
     val components =
-      if (resume && io.exists(spark, compsRef))
+      if (done(compsRef))
         io.read(spark, compsRef).agg(countDistinct("component")).first().getLong(0)
       else {
         val cc = ConnectedComponents.run(g.edges,
@@ -115,7 +125,10 @@ object Pipeline {
         cc.unpersist(false)
         n
       }
-    g.unpersist()
+    val nEdges = gBuilt.map(_.numEdges).getOrElse(edges.count())
+    val nVertices = gBuilt.map(_.numVertices)
+      .getOrElse(io.read(spark, ranksRef).count())
+    gBuilt.foreach(_.unpersist())
     Result(nPages, nEdges, nVertices, components, rankSum, resumedFrom)
   }
 }

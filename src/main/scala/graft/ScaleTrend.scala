@@ -32,6 +32,9 @@ object ScaleTrend {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_TREND_MULT", "10").toInt
+    // mult = 1 would make the exponent log(t2/t1)/log(1) = NaN/Infinity —
+    // which f"%.2f" renders as bare NaN, i.e. invalid JSON downstream
+    require(mult >= 2, s"SPARK_GRAFT_TREND_MULT must be >= 2, got $mult")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (2 * cpus).toString)

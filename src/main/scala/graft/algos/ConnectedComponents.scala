@@ -131,7 +131,10 @@ object ConnectedComponents {
       coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
     val rotated = rotator.rotate(observed, round)
     var tries = 0
-    while (tries < 40) {
+    // generous wait (10 s): the metric is guaranteed once the job finished
+    // (only listener-bus latency varies); a premature fallback costs the
+    // extra per-round aggregate job the fusion exists to avoid
+    while (tries < 400) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
           return (rotated, (row.getAs[Long]("c"), row.getAs[Long]("h")))

@@ -293,7 +293,10 @@ object StronglyConnectedComponents {
       coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("c"))
     val rotated = rot.rotate(observed, step)
     var tries = 0
-    while (tries < 40) {
+    // generous wait (10 s): the metric is guaranteed once the job finished
+    // (only listener-bus latency varies); a premature fallback costs the
+    // extra per-round aggregate job the fusion exists to avoid
+    while (tries < 400) {
       obs.future.value match {
         case Some(scala.util.Success(row)) if row.length > 0 =>
           return (rotated, row.getAs[Long]("c"))

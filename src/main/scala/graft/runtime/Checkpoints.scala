@@ -193,11 +193,16 @@ object IterationHygiene {
     * materialization fires (the CC rotateObserved pattern — reliable only
     * when the observed node is the root of the executed plan; mid-plan
     * observations can resolve to an empty row, see graph.Pregel). Falls
-    * back to `fallback` if the metric doesn't surface or arrives empty. */
+    * back to `fallback` if the metric doesn't surface or arrives empty.
+    * The wait is generous (10 s): the metric is GUARANTEED to arrive once
+    * the job finished — only async-listener-bus latency varies — and a
+    * premature fallback re-introduces the very per-superstep count job
+    * the observe fusion exists to eliminate (every poll is 25 ms, so a
+    * prompt metric still returns in one tick). */
   def awaitObservedLong(obs: org.apache.spark.sql.Observation,
       fallback: => Long): Long = {
     var tries = 0
-    while (tries < 40) {
+    while (tries < 400) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
           return if (row.length > 0) row.getLong(0) else fallback

@@ -35,6 +35,11 @@ object Trace {
   /** Start (or reset) in-memory stage collection. */
   def startCollecting(): Unit = { stages.clear(); collecting = true }
 
+  /** Stop collection and drop anything queued — call at phase boundaries
+    * once the last drain happened, or every later superstep's record()
+    * accumulates unread in the process-wide queue for the JVM's life. */
+  def stopCollecting(): Unit = { collecting = false; stages.clear() }
+
   /** Drain collected (label, sec) entries in arrival order. */
   def drain(): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

@@ -31,6 +31,15 @@ trait TableIO {
 
   def exists(spark: SparkSession, ref: String): Boolean
 
+  /** Whether `ref` exists AND its write committed — the predicate a
+    * stage-skip / resume decision must use: `exists` alone is true for a
+    * torn (killed mid-write) parquet directory, which would then be
+    * silently reused as a completed stage. Parquet checks the _SUCCESS
+    * marker; catalog-table impls with atomic commits (Iceberg) equate
+    * committed with exists. */
+  def committed(spark: SparkSession, ref: String): Boolean =
+    exists(spark, ref)
+
   /** Names of COMMITTED immediate children of `ref` (sub-directories with
     * a completeness marker / tables under the prefix) — checkpoint
     * discovery is built on this, so a torn write must not be listed. */
@@ -74,6 +83,11 @@ object ParquetTableIO extends TableIO {
   override def exists(spark: SparkSession, ref: String): Boolean = {
     val (fs, p) = fsOf(spark, ref)
     fs.exists(p)
+  }
+
+  override def committed(spark: SparkSession, ref: String): Boolean = {
+    val (fs, p) = fsOf(spark, ref)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
   }
 
   override def children(spark: SparkSession, ref: String): Seq[String] = {

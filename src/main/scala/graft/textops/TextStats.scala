@@ -118,18 +118,36 @@ object TextStats {
     * AQE-skew-splittable where a window partition is not. N rides along
     * as a 1-row broadcast, no driver action.
     *
-    * Ownership: the tf intermediate stays cached (CacheManager-tracked)
-    * for reuse across consumers of the returned frame; release it with
-    * `spark.catalog.clearCache()` or by unpersisting the returned plan's
-    * cached subtree when the result is no longer needed. */
+    * Ownership (the Dedup pattern): EAGER — the tf intermediate is cached
+    * for the two consumers, the result is materialized, and tf is
+    * RELEASED before returning, so repeated calls pin nothing but their
+    * own result. The caller owns the returned frame's blocks — release
+    * with `runtime.IterationHygiene.releaseLocal` when done (`unpersist`
+    * cannot see a localCheckpoint's blocks). */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (tfPlan, n) = tfParts(docs, idCol, textCol)
+    val tf = tfPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // populate once: the df branch and the join probe side read the cache
+    val out = tfidfOf(tf, n).localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
+
+  /** Map-side-combined (doc_id, token, tf) counts + the 1-row corpus-size
+    * frame — the single corpus scan [[tfidf]] materializes. */
+  private[graft] def tfParts(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokensWs(col(textCol))).as("token"))
-    val n = docs.agg(count(lit(1)).as("N"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // populate once: the df branch and the join probe side read the cache
+    (toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      docs.agg(count(lit(1)).as("N")))
+  }
+
+  /** Lazy tf·idf plan over a prepared tf frame — split out so plan-shape
+    * tests can pin the PRE-materialization plan (partial-agg df branch,
+    * no Window). */
+  private[graft] def tfidfOf(tf: DataFrame, n: DataFrame): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df.hint("SHUFFLE_HASH"), "token")
       .crossJoin(broadcast(n))

@@ -30,6 +30,12 @@ class TableIOSpec extends SparkTestBase {
     new java.io.File(s"$base/parent/superstep=3").mkdirs() // torn: no _SUCCESS
     assert(ParquetTableIO.children(spark, s"$base/parent").toSet ==
       Set("superstep=1", "superstep=2"))
+
+    // committed: the stage-skip predicate — a torn (killed mid-write) dir
+    // EXISTS but is NOT committed, so resume must recompute it
+    assert(io.committed(spark, s"$base/t1"))
+    assert(io.exists(spark, s"$base/parent/superstep=3"))
+    assert(!io.committed(spark, s"$base/parent/superstep=3"))
   }
 
   test("parquet impl: clusterBy writes partitioned layout") {

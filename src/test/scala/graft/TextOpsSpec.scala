@@ -169,16 +169,22 @@ class TextOpsSpec extends SparkTestBase {
     // token-window a single-task funnel at corpus scale
     val n = 300
     val d = (1 to n).map(i => (i.toLong, s"the tok$i")).toDF("doc_id", "text")
-    val out = TextStats.tfidf(d)
-    val plan = out.queryExecution.executedPlan.toString
+    // plan-shape pin on the PRE-materialization plan (the public tfidf
+    // returns a materialized frame whose plan is just a scan)
+    val (tfPlan, nFrame) = TextStats.tfParts(d, "doc_id", "text")
+    val plan = TextStats.tfidfOf(tfPlan, nFrame)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"df branch still uses a Window:\n$plan")
     assert(plan.contains("partial_count"),
       s"df branch is not map-side combined:\n$plan")
+    val out = TextStats.tfidf(d)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(rows((1L, "the")) == ((1L, n.toLong)))
     assert(rows((7L, "tok7")) == ((1L, 1L)))
     assert(rows.size == 2 * n)
+    // eager contract: nothing but the result's own blocks stays pinned
+    graft.runtime.IterationHygiene.releaseLocal(out)
   }
 
   test("portable hash mode raises on non-ASCII text instead of silently " +
