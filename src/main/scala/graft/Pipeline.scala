@@ -56,12 +56,18 @@ object Pipeline {
   }
 
   /** Execute (or resume) the pipeline under `workDir`. Idempotent per
-    * stage: a stage whose output table exists AND COMMITTED
-    * (`TableIO.committed` — a torn, killed-mid-write parquet dir is NOT
-    * reused as a completed stage) is skipped when `resume` is set,
-    * recomputed (overwritten) otherwise. Graph preparation only runs if an
-    * iterative stage still needs it, so resuming a fully-completed run
-    * recomputes nothing but two output scans. */
+    * DERIVED stage (edges/ranks/components): a stage whose output table
+    * exists AND COMMITTED (`TableIO.committed` — a torn, killed-mid-write
+    * parquet dir is NOT reused as a completed stage) is skipped when
+    * `resume` is set, recomputed (overwritten) otherwise. The pages stage
+    * is INPUT data, not a derived output: it is generated only when the
+    * table is absent, an existing committed table is always reused
+    * (never overwritten — a real deployment points it at the crawl's
+    * table), and an existing-but-uncommitted one fails loudly. Graph
+    * preparation only runs if an iterative stage still needs it, so
+    * resuming a fully-completed run recomputes nothing — it pays only
+    * per-stage output scans (pages count, ONE fused ranks sum+count
+    * aggregate, components distinct-count, edges count). */
   def run(spark: SparkSession, workDir: String, numPages: Long,
       resume: Boolean = false, prIters: Int = 20): Result = {
     val io = TableIO.forSession(spark)
@@ -71,14 +77,25 @@ object Pipeline {
     val compsRef = s"$workDir/components"
     def done(ref: String): Boolean = resume && io.committed(spark, ref)
 
-    // stage 1: page table (generated here; a real deployment points
-    // pagesRef at the crawl's Iceberg table and skips generation)
-    if (!done(pagesRef)) {
+    // stage 1: page table — input data, never silently overwritten (see
+    // the run() contract). Torn or markerless dirs fail here rather than
+    // being destroyed by regeneration or half-read downstream; the
+    // operator deletes the torn dir, points at a committed table, or (for
+    // markerless external writers) disables
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs, which committed()
+    // honors.
+    if (!io.exists(spark, pagesRef)) {
       val p = PageGen.pages(spark, PageGen.Config(numPages = numPages))
       PageGen.write(p, pagesRef)
-    }
+    } else if (!io.committed(spark, pagesRef))
+      throw new IllegalStateException(s"pages table at $pagesRef exists but " +
+        "is not committed — refusing to reuse or overwrite it; delete the " +
+        "torn directory or supply a committed table")
     val pages = io.read(spark, pagesRef)
     val nPages = pages.count()
+    if (nPages != numPages)
+      graft.runtime.Trace.log(
+        s"pipeline reusing existing pages table ($nPages rows; requested $numPages)")
 
     // stage 2: extraction + encoding (pure expressions; the url→id dict
     // is audited once per corpus build — collisions fail loudly)
@@ -103,10 +120,15 @@ object Pipeline {
     def g: PreparedGraph = gBuilt.getOrElse {
       val built = PreparedGraph(edges); gBuilt = Some(built); built
     }
+    // one fused scan serves both the rank sum and (when no graph is ever
+    // built on the fully-resumed path) the vertex count
+    var ranksCount = -1L
     val rankSum =
-      if (done(ranksRef))
-        io.read(spark, ranksRef).agg(sum("rank")).first().getDouble(0)
-      else {
+      if (done(ranksRef)) {
+        val r = io.read(spark, ranksRef).agg(sum("rank"), count(lit(1))).first()
+        ranksCount = r.getLong(1)
+        r.getDouble(0)
+      } else {
         val ranks = PageRank.runPrepared(g,
           PageRank.Config(numIter = prIters, checkpoint = Some(ck), resume = resume))
         io.write(ranks, ranksRef)
@@ -126,8 +148,9 @@ object Pipeline {
         n
       }
     val nEdges = gBuilt.map(_.numEdges).getOrElse(edges.count())
-    val nVertices = gBuilt.map(_.numVertices)
-      .getOrElse(io.read(spark, ranksRef).count())
+    // ranksCount ≥ 0 whenever no graph was built: the only path that skips
+    // graph prep is both iterative stages committed, which read ranks above
+    val nVertices = gBuilt.map(_.numVertices).getOrElse(ranksCount)
     gBuilt.foreach(_.unpersist())
     Result(nPages, nEdges, nVertices, components, rankSum, resumedFrom)
   }

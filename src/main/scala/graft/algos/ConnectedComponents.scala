@@ -130,18 +130,12 @@ object ConnectedComponents {
       count(lit(1)).as("c"),
       coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
     val rotated = rotator.rotate(observed, round)
-    var tries = 0
-    // generous wait (10 s): the metric is guaranteed once the job finished
-    // (only listener-bus latency varies); a premature fallback costs the
-    // extra per-round aggregate job the fusion exists to avoid
-    while (tries < 400) {
-      obs.future.value match {
-        case Some(scala.util.Success(row)) =>
-          return (rotated, (row.getAs[Long]("c"), row.getAs[Long]("h")))
-        case _ => Thread.sleep(25); tries += 1
+    graft.runtime.IterationHygiene.awaitObservedRow(obs)
+      .map(r => (rotated, (r.getAs[Long]("c"), r.getAs[Long]("h"))))
+      .getOrElse {
+        graft.runtime.Trace.log(s"cc obs round=$round fell back to direct signature")
+        (rotated, edgeSetSignature(rotated))
       }
-    }
-    (rotated, edgeSetSignature(rotated))
   }
 
   /** For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.

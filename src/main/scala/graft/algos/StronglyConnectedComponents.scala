@@ -292,21 +292,11 @@ object StronglyConnectedComponents {
     val observed = next.observe(obs,
       coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("c"))
     val rotated = rot.rotate(observed, step)
-    var tries = 0
-    // generous wait (10 s): the metric is guaranteed once the job finished
-    // (only listener-bus latency varies); a premature fallback costs the
-    // extra per-round aggregate job the fusion exists to avoid
-    while (tries < 400) {
-      obs.future.value match {
-        case Some(scala.util.Success(row)) if row.length > 0 =>
-          return (rotated, row.getAs[Long]("c"))
-        case Some(_) =>
-          graft.runtime.Trace.log(s"scc obs step=$step resolved unusable after $tries tries")
-          return (rotated, rotated.filter(pred).count())
-        case _ => Thread.sleep(25); tries += 1
+    graft.runtime.IterationHygiene.awaitObservedRow(obs)
+      .map(r => (rotated, r.getAs[Long]("c")))
+      .getOrElse {
+        graft.runtime.Trace.log(s"scc obs step=$step fell back to direct count")
+        (rotated, rotated.filter(pred).count())
       }
-    }
-    graft.runtime.Trace.log(s"scc obs step=$step timed out")
-    (rotated, rotated.filter(pred).count())
   }
 }

@@ -192,24 +192,32 @@ object IterationHygiene {
   /** Await a ROOT-LEVEL observation that the truncation's own
     * materialization fires (the CC rotateObserved pattern — reliable only
     * when the observed node is the root of the executed plan; mid-plan
-    * observations can resolve to an empty row, see graph.Pregel). Falls
-    * back to `fallback` if the metric doesn't surface or arrives empty.
+    * observations can resolve to an empty row, see graph.Pregel). Returns
+    * `Some(row)` only for a successfully-resolved NON-EMPTY row; `None`
+    * on timeout, failure, or an empty row — the three observation failure
+    * modes every caller must fall back on identically (this helper is the
+    * single copy of that poll loop; CC/SCC/Pregel are one-line callers).
     * The wait is generous (10 s): the metric is GUARANTEED to arrive once
     * the job finished — only async-listener-bus latency varies — and a
     * premature fallback re-introduces the very per-superstep count job
     * the observe fusion exists to eliminate (every poll is 25 ms, so a
     * prompt metric still returns in one tick). */
-  def awaitObservedLong(obs: org.apache.spark.sql.Observation,
-      fallback: => Long): Long = {
+  def awaitObservedRow(
+      obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] = {
     var tries = 0
     while (tries < 400) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
-          return if (row.length > 0) row.getLong(0) else fallback
-        case Some(scala.util.Failure(_)) => return fallback
+          return if (row.length > 0) Some(row) else None
+        case Some(scala.util.Failure(_)) => return None
         case _ => Thread.sleep(25); tries += 1
       }
     }
-    fallback
+    None
   }
+
+  /** [[awaitObservedRow]] specialized to a single-long observation. */
+  def awaitObservedLong(obs: org.apache.spark.sql.Observation,
+      fallback: => Long): Long =
+    awaitObservedRow(obs).map(_.getLong(0)).getOrElse(fallback)
 }

@@ -85,17 +85,31 @@ object ParquetTableIO extends TableIO {
     fs.exists(p)
   }
 
+  /** Whether this session's committer writes _SUCCESS markers at all.
+    * Object-store deployments commonly disable them
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false); with the
+    * marker gone, "has a marker" would brand every fully-written table
+    * torn, so committed/children fall back to bare existence there —
+    * the deployment has opted out of torn-write detection. */
+  private def marksSuccess(spark: SparkSession): Boolean =
+    spark.sessionState.newHadoopConf()
+      .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+
   override def committed(spark: SparkSession, ref: String): Boolean = {
     val (fs, p) = fsOf(spark, ref)
-    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (marksSuccess(spark))
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    else fs.exists(p)
   }
 
   override def children(spark: SparkSession, ref: String): Seq[String] = {
     val (fs, base) = fsOf(spark, ref)
+    val marks = marksSuccess(spark)
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(_.isDirectory)
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .filter(st => !marks ||
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
   }
 }

@@ -73,6 +73,29 @@ class PipelineSpec extends SparkTestBase {
       r2.components == r1.components && r2.edges == r1.edges)
   }
 
+  test("pipeline pages stage is input data: an existing committed table " +
+      "is reused (never overwritten), a torn one fails loudly (review r5)") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe2").toString
+    val r1 = graft.Pipeline.run(spark, dir, numPages = 300,
+      resume = false, prIters = 2)
+    assert(r1.pages == 300)
+    // non-resume re-run: derived stages recompute, but the pages table is
+    // reused even with a different requested size — it is an input, and a
+    // real deployment's crawl table must never be regenerated over
+    val mtime = new java.io.File(s"$dir/pages/_SUCCESS").lastModified()
+    val r2 = graft.Pipeline.run(spark, dir, numPages = 999,
+      resume = false, prIters = 2)
+    assert(r2.pages == 300, s"pages regenerated: ${r2.pages}")
+    assert(new java.io.File(s"$dir/pages/_SUCCESS").lastModified() == mtime,
+      "pages table was rewritten")
+    // torn pages dir (killed mid-write): refuse to half-read OR destroy it
+    assert(new java.io.File(s"$dir/pages/_SUCCESS").delete())
+    val e = intercept[IllegalStateException] {
+      graft.Pipeline.run(spark, dir, numPages = 300, resume = true, prIters = 2)
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+  }
+
   test("personalized PageRank differential vs reference") {
     import org.apache.spark.graphx.{Graph => XGraph}
     val pairs = randomEdges(99, n = 40, m = 120)

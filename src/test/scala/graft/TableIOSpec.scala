@@ -38,6 +38,28 @@ class TableIOSpec extends SparkTestBase {
     assert(!io.committed(spark, s"$base/parent/superstep=3"))
   }
 
+  test("parquet impl: committed/children honor " +
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs=false — a valid " +
+      "markerless table (object-store tuning, non-Spark writer) is not " +
+      "branded torn (review r5)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tio4").toString
+    val io = ParquetTableIO
+    io.write(Seq((1L, "a")).toDF("k", "v"), s"$base/p/superstep=1")
+    // simulate a markerless writer: drop the marker the committer left
+    assert(new java.io.File(s"$base/p/superstep=1/_SUCCESS").delete())
+    assert(!io.committed(spark, s"$base/p/superstep=1"))
+    assert(io.children(spark, s"$base/p").isEmpty)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      // deployment opted out of markers: existence IS the commit signal
+      assert(io.committed(spark, s"$base/p/superstep=1"))
+      assert(io.children(spark, s"$base/p") == Seq("superstep=1"))
+    } finally
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
   test("parquet impl: clusterBy writes partitioned layout") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("tio2").toString

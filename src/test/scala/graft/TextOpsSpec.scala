@@ -177,6 +177,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"df branch still uses a Window:\n$plan")
     assert(plan.contains("partial_count"),
       s"df branch is not map-side combined:\n$plan")
+    // and the plan production ACTUALLY runs — tfidf feeds tfidfOf a
+    // persisted tf, whose InMemoryRelation could in principle re-plan the
+    // df branch differently from the unpersisted pin above
+    val tfCached = tfPlan.persist()
+    tfCached.count()
+    val planCached = TextStats.tfidfOf(tfCached, nFrame)
+      .queryExecution.executedPlan.toString
+    assert(!planCached.contains("Window"),
+      s"cached-tf df branch uses a Window:\n$planCached")
+    assert(planCached.contains("partial_count"),
+      s"cached-tf df branch is not map-side combined:\n$planCached")
+    tfCached.unpersist()
     val out = TextStats.tfidf(d)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
