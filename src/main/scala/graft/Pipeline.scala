@@ -63,7 +63,9 @@ object Pipeline {
     * is INPUT data, not a derived output: it is generated only when the
     * table is absent, an existing committed table is always reused
     * (never overwritten — a real deployment points it at the crawl's
-    * table), and an existing-but-uncommitted one fails loudly. Graph
+    * table), a generation THIS pipeline flagged in-progress and then died
+    * inside is regenerated on restart, and any other
+    * existing-but-uncommitted table fails loudly. Graph
     * preparation only runs if an iterative stage still needs it, so
     * resuming a fully-completed run recomputes nothing — it pays only
     * per-stage output scans (pages count, ONE fused ranks sum+count
@@ -78,24 +80,37 @@ object Pipeline {
     def done(ref: String): Boolean = resume && io.committed(spark, ref)
 
     // stage 1: page table — input data, never silently overwritten (see
-    // the run() contract). Torn or markerless dirs fail here rather than
-    // being destroyed by regeneration or half-read downstream; the
-    // operator deletes the torn dir, points at a committed table, or (for
-    // markerless external writers) disables
-    // mapreduce.fileoutputcommitter.marksuccessfuljobs, which committed()
-    // honors.
-    if (!io.exists(spark, pagesRef)) {
-      val p = PageGen.pages(spark, PageGen.Config(numPages = numPages))
-      PageGen.write(p, pagesRef)
-    } else if (!io.committed(spark, pagesRef))
-      throw new IllegalStateException(s"pages table at $pagesRef exists but " +
-        "is not committed — refusing to reuse or overwrite it; delete the " +
-        "torn directory or supply a committed table")
+    // the run() contract). The pipeline flags its OWN generation with a
+    // workDir-local in-progress marker, so a run killed mid-generation
+    // regenerates on restart, while an exists-but-uncommitted table the
+    // pipeline did NOT flag (an external crawl table, torn or written
+    // without markers) fails here rather than being destroyed by
+    // regeneration or half-read downstream — the operator deletes the
+    // torn dir or supplies a committed table.
+    val parquetIo = io eq graft.sources.ParquetTableIO
+    val genFlag = new org.apache.hadoop.fs.Path(s"$workDir/.pages_generating")
+    lazy val flagFs = genFlag.getFileSystem(spark.sessionState.newHadoopConf())
+    def generatePages(): Unit = {
+      if (parquetIo) flagFs.create(genFlag, true).close()
+      PageGen.write(PageGen.pages(spark, PageGen.Config(numPages = numPages)), pagesRef)
+      if (parquetIo) flagFs.delete(genFlag, false)
+    }
+    if (!io.exists(spark, pagesRef)) generatePages()
+    else if (!io.committed(spark, pagesRef)) {
+      if (parquetIo && flagFs.exists(genFlag)) generatePages() // our own torn write
+      else throw new IllegalStateException(s"pages table at $pagesRef exists " +
+        "but is not committed and was not generated by this pipeline — " +
+        "refusing to reuse or overwrite it; delete the torn directory or " +
+        "supply a committed table")
+    } else if (parquetIo && flagFs.exists(genFlag))
+      flagFs.delete(genFlag, false) // stale flag: a kill landed between commit and unflag
     val pages = io.read(spark, pagesRef)
     val nPages = pages.count()
     if (nPages != numPages)
-      graft.runtime.Trace.log(
-        s"pipeline reusing existing pages table ($nPages rows; requested $numPages)")
+      // operator-facing and always on (a wrong-sized reused corpus must
+      // not depend on the GRAFT_TRACE opt-in to be visible)
+      System.err.println(s"[graft] pipeline reusing existing pages table at " +
+        s"$pagesRef: $nPages rows (requested $numPages)")
 
     // stage 2: extraction + encoding (pure expressions; the url→id dict
     // is audited once per corpus build — collisions fail loudly)
@@ -125,14 +140,16 @@ object Pipeline {
     var ranksCount = -1L
     val rankSum =
       if (done(ranksRef)) {
-        val r = io.read(spark, ranksRef).agg(sum("rank"), count(lit(1))).first()
+        // coalesce: sum over an empty (zero-outlink corpus) table is null
+        val r = io.read(spark, ranksRef)
+          .agg(coalesce(sum("rank"), lit(0.0)), count(lit(1))).first()
         ranksCount = r.getLong(1)
         r.getDouble(0)
       } else {
         val ranks = PageRank.runPrepared(g,
           PageRank.Config(numIter = prIters, checkpoint = Some(ck), resume = resume))
         io.write(ranks, ranksRef)
-        val s = ranks.agg(sum("rank")).first().getDouble(0)
+        val s = ranks.agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
         ranks.unpersist(false)
         s
       }

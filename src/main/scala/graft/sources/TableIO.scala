@@ -67,8 +67,9 @@ object TableIO {
 object ParquetTableIO extends TableIO {
 
   private def fsOf(spark: SparkSession, ref: String) = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(ref)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    (p.getFileSystem(conf), p, conf)
   }
 
   override def read(spark: SparkSession, ref: String): DataFrame =
@@ -81,7 +82,7 @@ object ParquetTableIO extends TableIO {
   }
 
   override def exists(spark: SparkSession, ref: String): Boolean = {
-    val (fs, p) = fsOf(spark, ref)
+    val (fs, p, _) = fsOf(spark, ref)
     fs.exists(p)
   }
 
@@ -89,22 +90,24 @@ object ParquetTableIO extends TableIO {
     * Object-store deployments commonly disable them
     * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false); with the
     * marker gone, "has a marker" would brand every fully-written table
-    * torn, so committed/children fall back to bare existence there —
-    * the deployment has opted out of torn-write detection. */
-  private def marksSuccess(spark: SparkSession): Boolean =
-    spark.sessionState.newHadoopConf()
-      .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    * torn, so committed/children fall back to bare existence there.
+    * CAVEAT: the flag is session-global, so setting it trades away
+    * torn-write detection for EVERY table and checkpoint this session
+    * touches — it is for deployments that are already markerless by
+    * policy, not a per-table workaround. */
+  private def marksSuccess(conf: org.apache.hadoop.conf.Configuration): Boolean =
+    conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
 
   override def committed(spark: SparkSession, ref: String): Boolean = {
-    val (fs, p) = fsOf(spark, ref)
-    if (marksSuccess(spark))
+    val (fs, p, conf) = fsOf(spark, ref)
+    if (marksSuccess(conf))
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     else fs.exists(p)
   }
 
   override def children(spark: SparkSession, ref: String): Seq[String] = {
-    val (fs, base) = fsOf(spark, ref)
-    val marks = marksSuccess(spark)
+    val (fs, base, conf) = fsOf(spark, ref)
+    val marks = marksSuccess(conf)
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(_.isDirectory)

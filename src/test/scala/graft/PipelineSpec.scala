@@ -81,19 +81,30 @@ class PipelineSpec extends SparkTestBase {
     assert(r1.pages == 300)
     // non-resume re-run: derived stages recompute, but the pages table is
     // reused even with a different requested size — it is an input, and a
-    // real deployment's crawl table must never be regenerated over
-    val mtime = new java.io.File(s"$dir/pages/_SUCCESS").lastModified()
+    // real deployment's crawl table must never be regenerated over. The
+    // sentinel file pins "not rewritten" (regeneration overwrites the dir,
+    // destroying it) without relying on mtime granularity.
+    val sentinel = new java.io.File(s"$dir/pages/sentinel.marker")
+    assert(sentinel.createNewFile())
     val r2 = graft.Pipeline.run(spark, dir, numPages = 999,
       resume = false, prIters = 2)
     assert(r2.pages == 300, s"pages regenerated: ${r2.pages}")
-    assert(new java.io.File(s"$dir/pages/_SUCCESS").lastModified() == mtime,
-      "pages table was rewritten")
-    // torn pages dir (killed mid-write): refuse to half-read OR destroy it
+    assert(sentinel.exists(), "pages table was rewritten")
+    // torn pages dir the pipeline did NOT write (no in-progress flag):
+    // refuse to half-read OR destroy it
     assert(new java.io.File(s"$dir/pages/_SUCCESS").delete())
     val e = intercept[IllegalStateException] {
       graft.Pipeline.run(spark, dir, numPages = 300, resume = true, prIters = 2)
     }
     assert(e.getMessage.contains("not committed"), e.getMessage)
+    // but the pipeline's OWN generation killed mid-write (in-progress flag
+    // present) regenerates on restart — resume recovers, nothing manual
+    assert(new java.io.File(s"$dir/.pages_generating").createNewFile())
+    val r3 = graft.Pipeline.run(spark, dir, numPages = 300,
+      resume = true, prIters = 2)
+    assert(r3.pages == 300 && math.abs(r3.rankSum - r1.rankSum) < 1e-9)
+    assert(!new java.io.File(s"$dir/.pages_generating").exists(),
+      "in-progress flag not cleared after successful regeneration")
   }
 
   test("personalized PageRank differential vs reference") {
