@@ -41,6 +41,12 @@ object PageRank {
 
   final case class Config(
       resetProb: Double = 0.15,
+      /** static-mode superstep count. IGNORED when `tol` is set: tol mode
+        * runs until no vertex has delta > tol (reference
+        * `runUntilConvergence` semantics, which takes no iteration cap);
+        * even tol = 0.0 terminates — deltas decay by (1−resetProb) per
+        * hop and underflow to 0.0 — but in thousands of supersteps, so
+        * pick a realistic tol rather than 0. */
       numIter: Int = 20,
       tol: Option[Double] = None,
       danglingRedistribute: Boolean = false,
@@ -99,10 +105,10 @@ object PageRank {
     result
   }
 
-  /** Per-dst message sums for one superstep. `state` must carry (id, and a
-    * `contrib` column = what each source spreads per out-edge × degree⁻¹
-    * is applied here). Optional two-level salted aggregation for hub
-    * in-degree skew. */
+  /** Per-dst message sums for one superstep. `senders` must carry
+    * (id, value); each source spreads value / out-degree along every
+    * out-edge (the degree-inverse is applied HERE, not by the caller).
+    * Optional two-level salted aggregation for hub in-degree skew. */
   private def msgSums(g: PreparedGraph, senders: DataFrame, salt: Int): DataFrame = {
     val adj = g.adjacency
     // senders ≤ |V| rows: a shuffled-hash join moves ONLY those rows (the
@@ -145,26 +151,31 @@ object PageRank {
       // dangling mode reads msgs twice (scalar agg + state join): cache it
       val msgs = if (cfg.danglingRedistribute)
         msgs0.persist(StorageLevel.MEMORY_AND_DISK) else msgs0
-      val withMass =
-        if (!cfg.danglingRedistribute) msgs
+      val sinkShare =
+        if (!cfg.danglingRedistribute || numVertices == 0L) 0.0
         else {
           // one action for both driver-side scalars: total rank in flight
-          // and carried (non-dangling) mass — not two (VERDICT r01 #6)
-          val agg = ranks.agg(sum("rank").as("t"))
+          // and carried (non-dangling) mass — not two (VERDICT r01 #6);
+          // coalesce both: either sum is null over an empty frame
+          val agg = ranks.agg(coalesce(sum("rank"), lit(0.0)).as("t"))
             .crossJoin(msgs.agg(coalesce(sum("msg"), lit(0.0)).as("c"))).first()
-          val sinkShare = (agg.getDouble(0) - agg.getDouble(1)) / numVertices
-          msgs.select(col("dst"), (col("msg") + lit(sinkShare)).as("msg"))
+          (agg.getDouble(0) - agg.getDouble(1)) / numVertices
         }
       val resetTerm: Column = cfg.personalized match {
         case None => lit(cfg.resetProb)
         case Some(src) => when(verts("id") === src, cfg.resetProb).otherwise(0.0)
       }
       // msgs land hash(dst)-partitioned from the aggregate — the verts
-      // join reuses that exchange; no broadcast (see msgSums)
-      val next = verts.join(withMass.hint("SHUFFLE_HASH"),
-          verts("id") === withMass("dst"), "left")
+      // join reuses that exchange; no broadcast (see msgSums). The sink
+      // share reaches EVERY vertex — it rides outside the msg coalesce,
+      // because a vertex with no inbound edges still receives its uniform
+      // slice of the dangling mass (mass conservation: Σrank is invariant
+      // per superstep in this mode — pinned by the conservation test)
+      val next = verts.join(msgs.hint("SHUFFLE_HASH"),
+          verts("id") === msgs("dst"), "left")
         .select(verts("id"),
-          (resetTerm + lit(1.0 - cfg.resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
+          (resetTerm + lit(1.0 - cfg.resetProb) *
+            (coalesce(col("msg"), lit(0.0)) + lit(sinkShare))).as("rank"))
       ranks = rotator.rotate(next.coalesce(pState), i)
       if (cfg.danglingRedistribute) msgs.unpersist(false)
       graft.runtime.Trace.record(f"pagerank_step_$i%02d",
@@ -322,9 +333,24 @@ object PageRank {
     out
   }
 
+  /** The numeric parameters a resumed run must share with the run that
+    * wrote the checkpoints (Checkpoints.verifyFingerprint). numIter is
+    * deliberately EXCLUDED — extending a finished 10-iteration run to 20
+    * via resume is the documented use — as are normalize (post-processing
+    * only) and numPartitions/checkpoint (layout, not numerics). */
+  private def fingerprint(cfg: Config): String =
+    s"reset=${cfg.resetProb},tol=${cfg.tol},dangling=${cfg.danglingRedistribute}," +
+      s"salt=${cfg.saltBuckets},personalized=${cfg.personalized}"
+
   private def resumeOrInit(spark: SparkSession, cfg: Config, algo: String,
-      init: DataFrame): (Int, DataFrame) =
-    (if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, algo)) else None)
-      .map { case (step, df) => (step, df) }
-      .getOrElse((0, init))
+      init: DataFrame): (Int, DataFrame) = {
+    val resumed =
+      if (cfg.resume) cfg.checkpoint.flatMap { ck =>
+        Checkpoints.verifyFingerprint(spark, ck, algo, fingerprint(cfg))
+        Checkpoints.latest(spark, ck, algo)
+      } else None
+    cfg.checkpoint.foreach(ck =>
+      Checkpoints.recordFingerprint(spark, ck, algo, fingerprint(cfg)))
+    resumed.getOrElse((0, init))
+  }
 }

@@ -38,9 +38,13 @@ object TripletFields {
   * the same vertex-shipping + per-partition combine the reference's
   * ReplicatedVertexView + edge-partition scan performs, expressed
   * declaratively. A dst-attrs-only round with src recipients uses the
-  * cached REVERSE adjacency instead, so neither direction ever pays an
-  * |E|-row-sized join against the vertex table unless the messages truly
-  * read both endpoint attrs. Both-direction rounds evaluate the triplet
+  * cached REVERSE adjacency instead — that direction's attr join stays
+  * |V|-row-sized. The one shape that pays a post-explode (|E|-row-probe)
+  * attr join is a toDst round reading DST attrs: the forward triplet
+  * view guarantees `src_degree` and a pre-explode sender semi-join, both
+  * of which reverse blocks cannot provide for that direction (no engine
+  * algorithm uses this shape; the probe side still never moves the
+  * cached blocks). Both-direction rounds evaluate the triplet
   * view ONCE and emit both messages from a single explode — the
   * reference's one-edge-partition-scan-both-sends, where the r3 shape
   * (two selects UNIONed over the triplet frame) re-executed the
@@ -71,6 +75,12 @@ object AggregateMessages {
   private def tripletsFrom(g: PreparedGraph, srcVertices: DataFrame,
       dstVertices: DataFrame, fields: TripletFields,
       srcRestricted: Boolean, dstRestricted: Boolean): DataFrame = {
+    // a state column named "degree" would alias to src_degree and collide
+    // with the triplet view's own src_degree (out-degree from the block):
+    // fail actionably instead of with AnalysisException at first use
+    require(!fields.useSrc || !srcVertices.columns.contains("degree"),
+      "vertex attr column 'degree' collides with the triplet view's " +
+        "src_degree; rename the state column")
     var t: DataFrame = g.adjacency
     if (fields.useSrc) {
       val attrs = srcVertices.columns.filter(_ != "id").toSeq
@@ -106,6 +116,9 @@ object AggregateMessages {
     * provider is enforced by semi-join even when its attrs aren't read. */
   private def reverseTriplets(g: PreparedGraph, vertices: DataFrame,
       fields: TripletFields, dstRestricted: Boolean): DataFrame = {
+    require(!fields.useDst || !vertices.columns.contains("in_degree"),
+      "vertex attr column 'in_degree' collides with the reverse triplet " +
+        "view's dst_in_degree; rename the state column")
     val attrs = vertices.columns.filter(_ != "id").toSeq
     var t: DataFrame = g.reverseAdjacency
     if (fields.useDst) {

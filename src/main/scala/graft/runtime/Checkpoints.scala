@@ -58,8 +58,48 @@ object Checkpoints {
     }
   }
 
+  def fingerprintRef(cfg: CheckpointConfig, algo: String): String =
+    s"${cfg.dir}/${cfg.runId}/$algo/_config"
+
+  /** Record the run's numeric-config fingerprint once (first run against
+    * this checkpoint dir). Together with [[verifyFingerprint]] it closes
+    * the silent-wrong-results resume class: snapshots are keyed only by
+    * dir/runId/algo, so without the fingerprint a resume under CHANGED
+    * numerics (resetProb, tol, …) would continue old-parameter state
+    * under new parameters and match neither configuration. */
+  def recordFingerprint(spark: SparkSession, cfg: CheckpointConfig,
+      algo: String, fp: String): Unit = {
+    val io = TableIO.forSession(spark)
+    val ref = fingerprintRef(cfg, algo)
+    if (!io.exists(spark, ref)) {
+      import spark.implicits._
+      io.write(Seq(fp).toDF("fingerprint"), ref)
+    }
+  }
+
+  /** Fail loudly when resuming under a config that differs from the one
+    * the checkpoints were written with. A missing fingerprint (pre-upgrade
+    * checkpoint dir) verifies vacuously. */
+  def verifyFingerprint(spark: SparkSession, cfg: CheckpointConfig,
+      algo: String, fp: String): Unit = {
+    val io = TableIO.forSession(spark)
+    val ref = fingerprintRef(cfg, algo)
+    if (io.committed(spark, ref)) {
+      val stored = io.read(spark, ref).select("fingerprint").first().getString(0)
+      require(stored == fp,
+        s"refusing to resume $algo from ${cfg.dir}/${cfg.runId}: checkpoints " +
+          s"were written under config [$stored], the current config is [$fp] — " +
+          "continuing would produce results matching neither; delete the " +
+          "checkpoint dir or restore the original config")
+    }
+  }
+
   /** Append one superstep's lineage/convergence metrics, per shuffle
-    * partition of the state (schema FIXTURES.md §1.1 `superstep_log`). */
+    * partition of the state (schema FIXTURES.md §1.1 `superstep_log`).
+    * The log is an append-only journal of EXECUTED supersteps: a resume
+    * that re-runs supersteps past its snapshot re-logs them (they ran
+    * again) — consumers aggregating wall time must group by superstep or
+    * take the last attempt, not sum blindly. */
   def logSuperstep(state: DataFrame, cfg: CheckpointConfig, algo: String,
       superstep: Int, l1Delta: Double, activeCount: Long, wallMs: Long): Unit = {
     val perPart = state
@@ -148,7 +188,13 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     * checkpoint snapshot): materialize it EXACTLY like a rotation
     * (localCheckpoint — see rotate's uniformity note) and register its
     * release, WITHOUT re-saving it over the directory it may have just
-    * been read from. */
+    * been read from. Layout caveat: the adopted frame's partitioning
+    * follows the snapshot's file splits, not the in-run coalesce the
+    * original rotation had, so downstream float-accumulation order is
+    * only as stable as the scan layout — ResumeSpec pins bit-identity at
+    * the tested scales; a deployment wanting the same guarantee at
+    * cluster scale must keep split sizing (maxPartitionBytes) stable
+    * across the original and resumed runs. */
   def adopt(df: DataFrame): DataFrame = {
     val cp = org.apache.spark.sql.graftplan.PlanStats
       .clampCheckpointStats(df.localCheckpoint(true))
@@ -201,20 +247,29 @@ object IterationHygiene {
     * the job finished — only async-listener-bus latency varies — and a
     * premature fallback re-introduces the very per-superstep count job
     * the observe fusion exists to eliminate (every poll is 25 ms, so a
-    * prompt metric still returns in one tick). */
+    * prompt metric still returns in one tick). Degradation guard: an
+    * environment whose materializations never surface metrics at all
+    * would otherwise pay the full 10 s EVERY superstep (~33 min over a
+    * 200-superstep run), so after 3 consecutive timeouts the wait drops
+    * to 1 s until an observation resolves again. */
   def awaitObservedRow(
       obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] = {
+    val maxTries = if (consecutiveTimeouts >= 3) 40 else 400
     var tries = 0
-    while (tries < 400) {
+    while (tries < maxTries) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
+          consecutiveTimeouts = 0
           return if (row.length > 0) Some(row) else None
-        case Some(scala.util.Failure(_)) => return None
+        case Some(scala.util.Failure(_)) => return None // resolved, not a timeout
         case _ => Thread.sleep(25); tries += 1
       }
     }
+    consecutiveTimeouts += 1
     None
   }
+
+  @volatile private var consecutiveTimeouts = 0
 
   /** [[awaitObservedRow]] specialized to a single-long observation. */
   def awaitObservedLong(obs: org.apache.spark.sql.Observation,

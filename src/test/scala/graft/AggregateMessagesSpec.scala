@@ -341,4 +341,21 @@ class AggregateMessagesSpec extends SparkTestBase {
     assert(done.select("id", "label").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("a vertex attr named 'degree' fails actionably instead of emitting " +
+      "a duplicate src_degree column (review r5)") {
+    val g = PreparedGraph(edgesDF(Seq((1L, 2L), (2L, 3L))))
+    val state = g.vertices.select(col("id"), lit(1L).as("degree"))
+    val e = intercept[IllegalArgumentException] {
+      AggregateMessages.run(g, state, Some(col("src_degree")), None,
+        Seq(sum("msg").as("m")), TripletFields.Src)
+    }
+    assert(e.getMessage.contains("src_degree"), e.getMessage)
+    // a non-colliding name on the same shape works
+    val ok = AggregateMessages.run(g,
+      state.withColumnRenamed("degree", "deg"),
+      Some(col("src_deg")), None, Seq(sum("msg").as("m")), TripletFields.Src)
+    assert(ok.count() == 2)
+    g.unpersist()
+  }
 }

@@ -50,6 +50,29 @@ class FixturesSpec extends SparkTestBase {
     assert(math.abs(gotTol(2L) - 1.1103896104) < 1e-6)
   }
 
+  test("danglingRedistribute=true conserves mass and reaches vertices " +
+      "with no in-edges (review r5)") {
+    val e = edgesDF(Seq((1L, 2L), (1L, 3L)))
+    val got = ranksMap(PageRank.run(e,
+      PageRank.Config(numIter = 10, danglingRedistribute = true, normalize = false)))
+    // textbook variant: total mass is invariant (Σ = |V|) every superstep;
+    // in particular the sink share must reach vertex 1, which receives no
+    // messages (the lost-mass bug this test pins)
+    assert(math.abs(got.values.sum - 3.0) < 1e-9, s"mass not conserved: $got")
+    assert(math.abs(got(2L) - got(3L)) < 1e-12)
+    // driver-side power iteration of the same recurrence
+    var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 10) {
+      val sink = (r(2L) + r(3L)) / 3
+      r = Map(
+        1L -> (0.15 + 0.85 * sink),
+        2L -> (0.15 + 0.85 * (r(1L) / 2 + sink)),
+        3L -> (0.15 + 0.85 * (r(1L) / 2 + sink)))
+    }
+    r.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) < 1e-12, s"$id: ${got(id)} vs $v") }
+  }
+
   test("connected components matches reference fixture (FIXTURES §3.4)") {
     val got = ConnectedComponents.run(fEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

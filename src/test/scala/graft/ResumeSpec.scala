@@ -26,6 +26,25 @@ class ResumeSpec extends SparkTestBase {
     assert(resumed == full) // bit-identical, not just allclose
   }
 
+  test("resume under a changed numeric config fails loudly instead of " +
+      "silently mixing parameterizations (review r5)") {
+    val edges = edgesDF(randomEdges(13, n = 60, m = 200))
+    val dir = java.nio.file.Files.createTempDirectory("resume_fp").toString
+    val ck = CheckpointConfig(dir, "fp1", every = 3)
+    PageRank.run(edges, PageRank.Config(numIter = 6, checkpoint = Some(ck)))
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(edges, PageRank.Config(numIter = 12, resetProb = 0.3,
+        checkpoint = Some(ck), resume = true))
+    }
+    assert(e.getMessage.contains("refusing to resume"), e.getMessage)
+    // same numerics but MORE iterations is the documented resume use —
+    // numIter is excluded from the fingerprint and still works
+    val ok = PageRank.run(edges, PageRank.Config(numIter = 12,
+      checkpoint = Some(ck), resume = true))
+    assert(ok.count() > 0)
+    ok.unpersist(false)
+  }
+
   test("tol-mode pagerank resumed from checkpoint is bit-identical") {
     val edges = edgesDF(randomEdges(11, n = 80, m = 300))
     val dir = java.nio.file.Files.createTempDirectory("resume_tol").toString
