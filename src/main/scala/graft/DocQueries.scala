@@ -66,10 +66,10 @@ object DocQueries {
 
   val qDocStatsSql: String =
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-      | CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      | CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
       |   x -> len(x) > 0)) AS BIGINT) AS n_tokens,
       | round(CASE WHEN length(text) = 0 THEN 0
-      |   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
       |     / length(text) END, 6) AS punct_ratio,
       | round(CASE WHEN length(text) = 0 THEN 0
       |   ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
@@ -84,7 +84,7 @@ object DocQueries {
 
   val qNgramDupesSql: String =
     """WITH toks AS (SELECT doc_id,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
@@ -117,7 +117,7 @@ object DocQueries {
 
   val qDedupClustersSql: String =
     """WITH RECURSIVE toks AS (SELECT doc_id,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
@@ -245,7 +245,7 @@ object DocQueries {
 
   val qTfidfSql: String =
     """WITH toks AS (SELECT doc_id, unnest(list_filter(
-      |     string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+      |     string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0)) AS token
       |   FROM documents),
       | tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
       |   FROM toks GROUP BY doc_id, token),
@@ -267,7 +267,7 @@ object DocQueries {
 
   val qTextQualitySql: String =
     """WITH base AS (SELECT doc_id, text,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | hits AS (SELECT doc_id, text, len(t) AS n,
       |   CAST(len(list_filter(t, x -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(x)))) AS DOUBLE) AS en,
@@ -279,7 +279,7 @@ object DocQueries {
       | scored AS (SELECT doc_id, n, en, de, fr, es, it,
       |   greatest(en, de, fr, es, it) AS mx,
       |   CASE WHEN length(text) = 0 THEN 0
-      |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
       |   CASE WHEN length(text) = 0 THEN 0
       |     ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dig,
       |   CASE WHEN n = 0 THEN 0 ELSE en / n END AS stopr
@@ -331,7 +331,7 @@ object DocQueries {
     * join → exact Jaccard ≥ 0.5 verification. */
   val qMinhashPairsSql: String =
     """WITH toks AS (SELECT doc_id,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |   ELSE list_distinct([array_to_string(t[i:i+2], ' ')
@@ -370,7 +370,7 @@ object DocQueries {
     * pigeonhole banding + bit_count(xor) verification as in the engine. */
   val qSimhashPairsSql: String =
     """WITH toks AS (SELECT doc_id,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | th AS (SELECT doc_id, list_transform(t, tok ->
       |   [list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -405,7 +405,7 @@ object DocQueries {
     * hash function involved (VERDICT r2 next #6). */
   val qTextAnalysisSql: String =
     """WITH base AS (SELECT doc_id, text,
-      |   list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS t
       |   FROM documents),
       | hits AS (SELECT doc_id, text, t, len(t) AS n,
       |   CAST(len(list_filter(t, x -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(x)))) AS DOUBLE) AS en,
@@ -417,7 +417,7 @@ object DocQueries {
       | scored AS (SELECT doc_id, t, n, en, de, fr, es, it,
       |   greatest(en, de, fr, es, it) AS mx,
       |   CASE WHEN length(text) = 0 THEN 0
-      |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
       |   CASE WHEN length(text) = 0 THEN 0
       |     ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dig,
       |   CASE WHEN n = 0 THEN 0 ELSE en / n END AS stopr

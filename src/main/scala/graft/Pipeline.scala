@@ -113,12 +113,19 @@ object Pipeline {
         s"$pagesRef: $nPages rows (requested $numPages)")
 
     // stage 2: extraction + encoding (pure expressions; the url→id dict
-    // is audited once per corpus build — collisions fail loudly)
+    // is audited once per corpus build — collisions fail loudly). The
+    // audited universe is EVERY url encode() hashes: page urls AND
+    // outlink dst_urls — dangling link targets dominate a real crawl and
+    // a collision among them merges two vertices just as silently as one
+    // among page urls.
     if (!done(edgesRef)) {
       require(Extract.textInvariantViolations(pages) == 0,
         "stored text is not byte-identical to re-extraction")
-      UrlDict.auditCollisions(UrlDict.dict(pages))
-      EdgeOps.writeEdges(EdgeOps.encode(Extract.outlinks(pages)), edgesRef)
+      val outlinks = Extract.outlinks(pages)
+      UrlDict.auditCollisions(UrlDict.dict(
+        pages.select(col("url"))
+          .union(outlinks.select(col("dst_url").as("url")))))
+      EdgeOps.writeEdges(EdgeOps.encode(outlinks), edgesRef)
     }
     val edges = EdgeOps.readEdges(spark, edgesRef)
 

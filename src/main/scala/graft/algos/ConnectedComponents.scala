@@ -108,6 +108,19 @@ object ConnectedComponents {
       }
     }
 
+    // Loud failure when the cap trips (house precedent: SCC's require —
+    // the reference silently returns partial labels): a non-converged edge
+    // set is not yet a star forest, so the left join below would emit
+    // DUPLICATE (id, component) rows with conflicting labels — silently
+    // corrupt output, not merely partial. O(log n) convergence makes the
+    // default cap unreachable on any real graph; callers that trip it
+    // raise maxRounds.
+    require(converged,
+      s"connected components did not converge within ${cfg.maxRounds} " +
+        s"rounds (${sigPrev._1} edges remain): the edge set is not yet a " +
+        "star forest and labels would be corrupt — re-run with a larger " +
+        "maxRounds")
+
     // stars: src (member) → dst (root); roots + isolated vertices map to self
     val out = allVerts
       .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")

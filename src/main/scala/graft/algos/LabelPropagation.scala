@@ -25,7 +25,7 @@ import graft.runtime.{AdaptivePartitions, CheckpointConfig, Checkpoints, StateRo
   * Execution shape per superstep (same pattern as PageRank): the |V|-row
   * label state joins ONE cached symmetrized adjacency (each directed edge
   * listed under both endpoints — hash join, no |E|-row join), explodes
-  * into the 2|E| message stream, and a (vertex, label) count + `max_by`
+  * into the 2|E| message stream, and a (vertex, label) count + `min_by`
   * argmax — map-side partial aggregation bounds the shuffle; no UDAF,
   * fully codegen'd.
   */
@@ -85,9 +85,13 @@ object LabelPropagation {
       val argmax = adj.join(labels.hint("SHUFFLE_HASH"), adj("src") === labels("id"))
         .select(explode(col("dsts")).as("vid"), col("label"))
         .groupBy(col("vid"), col("label")).agg(count(lit(1)).as("cnt"))
-        // max_by over (cnt, -label): highest count, ties → smallest label
+        // min_by over (-cnt, label): highest count, ties → smallest label.
+        // Negating CNT (≥ 1, can't wrap) instead of LABEL: labels are
+        // arbitrary longs (xxhash64 ids), and -Long.MinValue wraps to
+        // itself under non-ANSI arithmetic, which would make the smallest
+        // possible label LOSE ties instead of winning as specified
         .groupBy(col("vid"))
-        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("new_label"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label"))).as("new_label"))
       // vertices with no incident messages keep their label (none here —
       // every vertex of an edge table has ≥1 incident edge — but keep the
       // coalesce for subgraph-restricted universes)

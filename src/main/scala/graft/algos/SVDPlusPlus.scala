@@ -227,6 +227,12 @@ object SVDPlusPlus {
       .join(si, edges("dst") === col("iid"))
       .select(((col("rating") - pred) * (col("rating") - pred)).as("se"))
       .agg(sum("se"), count(lit(1))).first()
+    // loud guard instead of getDouble's opaque "value at index 0 is null":
+    // zero matched pairs (empty edges, or a holdout disjoint from the
+    // trained state's ids) makes RMSE undefined
+    require(r.getLong(1) > 0,
+      "rmse: no (src, dst) pair of `edges` matched the model state's ids — " +
+        "RMSE is undefined over zero predictions")
     math.sqrt(r.getDouble(0) / r.getLong(1))
   }
 

@@ -22,23 +22,32 @@ import graft.runtime.IterationHygiene
 object ShortestPaths {
 
   /** (id, landmark, distance) for every vertex that reaches a landmark.
+    *
+    * Runs to the BFS fixed point by default, like the reference (its
+    * Pregel loop has no iteration cap; rounds are bounded by the graph
+    * diameter, so termination is guaranteed). A FINITE `maxIter` is a
+    * deliberate k-hop restriction: the output is then exactly "distances
+    * within `maxIter` hops" — vertices farther from a landmark get NO row,
+    * indistinguishable from unreachable — and a Trace warning records
+    * that the cap tripped.
     * @note the returned frame is PERSISTED — the caller owns it
     *       (`unpersist()` when done; see `PageRank.run`'s ownership
     *       contract, uniform across engine algorithms). */
-  def run(edges: DataFrame, landmarks: Seq[Long], maxIter: Int = 100): DataFrame = {
+  def run(edges: DataFrame, landmarks: Seq[Long],
+      maxIter: Int = Int.MaxValue): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
     val verts = graft.graph.EdgeOps.vertices(e)
 
-    // dist 0: each landmark to itself (restricted to existing vertices)
-    var dists = verts.filter(col("id").isInCollection(landmarks))
-      .select(col("id"), col("id").as("landmark"), lit(0).as("distance"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dists.count()
+    // dist 0: each landmark to itself (restricted to existing vertices);
+    // truncated (localCheckpoint) like every later state so the rotation
+    // and release paths below are uniform
+    var (dists, releaseDists) = IterationHygiene.truncate(
+      verts.filter(col("id").isInCollection(landmarks))
+        .select(col("id"), col("id").as("landmark"), lit(0).as("distance")))
     var frontier = dists
     var frontierRows = dists.count()
     var releaseFrontier: () => Unit = () => ()
-    var releaseDists: () => Unit = () => ()
     var round = 0
     while (round < maxIter && frontierRows > 0) {
       round += 1
@@ -62,12 +71,25 @@ object ShortestPaths {
       frontierRows = IterationHygiene.awaitObservedLong(obs, frontier.count())
       if (frontierRows > 0) {
         val (merged, relD) = IterationHygiene.truncate(dists.union(frontier))
-        dists.unpersist(false); releaseDists()
+        releaseDists()
         dists = merged; releaseDists = relD
       }
     }
+    if (frontierRows > 0)
+      graft.runtime.Trace.log(s"sssp: maxIter=$maxIter tripped with a " +
+        s"non-empty frontier ($frontierRows pending improvements) — output " +
+        "is distances WITHIN maxIter hops, not the full fixed point")
+    // fresh persisted projection: the caller's unpersist() can release it
+    // (a localCheckpoint-backed frame it could not — Dataset.unpersist
+    // never reaches checkpoint blocks; see IterationHygiene.releaseLocal).
+    // The final dists checkpoint set stays alive backing `out` against
+    // eviction — the one bounded block set per run the ownership contract
+    // allows, same as every rotator-based algorithm's close().
+    val out = dists.select(col("id"), col("landmark"), col("distance"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
     e.unpersist(false); releaseFrontier()
-    dists
+    out
   }
 
   /** Reference-shaped output: (id, map<landmark, distance>), rows only for
@@ -93,8 +115,13 @@ object ShortestPaths {
     * src (reading src attrs on every triplet — `TripletFields.All`); we
     * let the min-merge at the recipient absorb those instead, keeping the
     * triplet join one-sided. Fixed point and results are identical.
+    *
+    * Like [[run]], iterates to the fixed point by default (the combinator
+    * halts when no vertex changes); a finite `maxIter` is a k-hop
+    * restriction with the same caveat documented on [[run]].
     */
-  def runPregel(edges: DataFrame, landmarks: Seq[Long], maxIter: Int = 100): DataFrame = {
+  def runPregel(edges: DataFrame, landmarks: Seq[Long],
+      maxIter: Int = Int.MaxValue): DataFrame = {
     import graft.graph.{PreparedGraph, Pregel, TripletFields}
     val g = PreparedGraph(edges)
     try {

@@ -270,7 +270,13 @@ object StronglyConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    rotE.close(); rotC.close(); rotF.close(); rotConf.close(); rotFr.close()
+    // only rotF's finalized state backs `out` (keep its blocks — the one
+    // bounded set per run the ownership contract allows); the other four
+    // rotators' final states are dead once `out` is materialized — release
+    // them, or each run strands 4 extra |V|-sized localCheckpoint sets
+    rotF.close()
+    rotE.releaseFinal(); rotC.releaseFinal()
+    rotConf.releaseFinal(); rotFr.releaseFinal()
     allVerts.unpersist(false)
     out
   }

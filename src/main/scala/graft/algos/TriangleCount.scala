@@ -31,7 +31,14 @@ object TriangleCount {
     *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val canon = graft.graph.EdgeOps.canonicalize(edges)
+    // one pass over the (possibly expensive) input plan: canonicalization
+    // AND the vertex universe both derive from this cache (same hazard CC
+    // documents — without it the final vertices join re-executes the full
+    // upstream plan a second time)
+    val raw = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    raw.count()
+    val canon = graft.graph.EdgeOps.canonicalize(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canonRows = canon.count()
     val p = graft.runtime.AdaptivePartitions.forRows(spark, canonRows)
@@ -72,11 +79,12 @@ object TriangleCount {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
 
-    val out = graft.graph.EdgeOps.vertices(edges)
+    val out = graft.graph.EdgeOps.vertices(raw)
       .join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the intermediates
+    raw.unpersist(false)
     canon.unpersist(false)
     oriented.unpersist(false)
     out

@@ -74,17 +74,35 @@ object Adjacency {
         .union(e.select(col("dst").as("id"), col("src").as("nbr")))
   }
 
+  /** Two-phase degree-capped per-vertex collection: phase 1 aggregates
+    * bounded hash-chunks ([[PreparedGraph.cappedBlocks]] — a mega-hub's
+    * neighborhood lands on MANY reducers, each row ≤ ~2·cap), phase 2
+    * concatenates a vertex's ≤ ceil(deg/cap) chunk ARRAYS (array-valued
+    * records, reusing phase 1's hash(id) exchange) and sorts. The OUTPUT
+    * row is still one array per vertex — that is the reference API's
+    * contract and the caller's to hold — but no aggregation task ever
+    * accumulates a hub's neighborhood record-by-record. Sub-cap graphs
+    * take cappedBlocks' fast path: a single groupBy, the old plan.
+    * EAGER (cappedBlocks' max-degree aggregate runs at plan-construction
+    * time) — persist an expensive uncached input first. */
+  private def collectCapped(pairs: DataFrame, valueCol: String,
+      outName: String): DataFrame =
+    PreparedGraph.cappedBlocks(pairs, "id", valueCol, "__deg", "__nlist",
+        PreparedGraph.blockCap(pairs.sparkSession))
+      .groupBy("id")
+      .agg(array_sort(flatten(collect_list(col("__nlist")))).as(outName))
+
   /** Reference `GraphOps.collectNeighborIds(direction)` (spark-graphx
     * 4.1.2; SURVEY.md §2.3): per-vertex neighbor-id array under the given
     * direction. EVERY vertex of the edge table appears (empty array when
     * it has no neighbors that way — the reference's default-empty
     * leftZipJoin); arrays are SORTED — deterministic where the reference's
-    * ordering is partition-dependent (documented stronger). One groupBy
-    * plus one |V|-row left join. */
+    * ordering is partition-dependent (documented stronger). Aggregation is
+    * degree-capped ([[collectCapped]]) so a mega-hub's build never funnels
+    * through one reducer. */
   def collectNeighborIds(e: DataFrame, dir: EdgeDirection): DataFrame =
     EdgeOps.vertices(e)
-      .join(incident(e, dir).groupBy("id")
-        .agg(sort_array(collect_list(col("nbr"))).as("neighbors")),
+      .join(collectCapped(incident(e, dir), "nbr", "neighbors"),
         Seq("id"), "left")
       .select(col("id"),
         coalesce(col("neighbors"), array().cast("array<bigint>")).as("neighbors"))
@@ -101,12 +119,16 @@ object Adjacency {
   def collectNeighbors(e: DataFrame, verts: DataFrame,
       dir: EdgeDirection): DataFrame = {
     val attrs = verts.columns.filter(_ != "id").toSeq
+    // internal join key under a reserved name + frame-qualified references:
+    // an attr frame legally carrying a column named "nbr" must not make
+    // the join ambiguous
     val nbrAttrs = verts.select(
-      col("id").as("nbr") +: attrs.map(c => col(c)): _*)
-    val grouped = incident(e, dir).join(nbrAttrs, Seq("nbr"))
-      .groupBy("id")
-      .agg(sort_array(collect_list(
-        struct(col("nbr").as("id") +: attrs.map(c => col(c)): _*))).as("neighbors"))
+      col("id").as("__nbr") +: attrs.map(c => col(c)): _*)
+    val inc = incident(e, dir)
+    val pairs = inc.join(nbrAttrs, inc("nbr") === nbrAttrs("__nbr"))
+      .select(inc("id"),
+        struct(inc("nbr").as("id") +: attrs.map(c => nbrAttrs(c)): _*).as("ns"))
+    val grouped = collectCapped(pairs, "ns", "neighbors")
     val emptyArr = array().cast(grouped.schema("neighbors").dataType)
     EdgeOps.vertices(e)
       .join(grouped, Seq("id"), "left")
@@ -124,8 +146,9 @@ object Adjacency {
         e.select(col("src").as("id"), col("src"), col("dst"))
           .union(e.select(col("dst").as("id"), col("src"), col("dst")))
     }
-    tagged.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("src"), col("dst")))).as("edges"))
+    collectCapped(
+      tagged.select(col("id"), struct(col("src"), col("dst")).as("ed")),
+      "ed", "edges")
   }
 }
 

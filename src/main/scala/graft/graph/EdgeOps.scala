@@ -96,15 +96,32 @@ object EdgeOps {
   /** GraphLoader-compatible text edge-list reader (reference
     * `GraphLoader.edgeListFile`, FIXTURES.md §1.2/§3.6): whitespace-
     * separated `src dst`, `#` comments skipped, duplicates and self-loops
-    * preserved; optional canonical orientation flips each edge to
-    * src <= dst (per-edge flip, NOT dedup — matches reference). */
+    * preserved, extra tokens beyond the first two ignored (as the
+    * reference); optional canonical orientation flips each edge to
+    * src <= dst (per-edge flip, NOT dedup — matches reference).
+    *
+    * Malformed lines FAIL LOUDLY with the offending line in the message —
+    * the reference throws on them too ("Invalid line" /
+    * NumberFormatException); a plain `cast` here would instead emit
+    * silent null-id phantom edges with ANSI off, or an opaque cast error
+    * with ANSI on. One documented lenience: leading whitespace is trimmed
+    * before parsing (the reference crashes on indented but otherwise
+    * valid lines). */
   def edgeListFile(spark: SparkSession, path: String,
       canonicalOrientation: Boolean = false): DataFrame = {
-    val raw = spark.read.text(path)
+    val parsed = spark.read.text(path)
       .filter(not(col("value").startsWith("#")) && length(trim(col("value"))) > 0)
-      .select(split(trim(col("value")), "\\s+").as("f"))
-      .select(element_at(col("f"), 1).cast("long").as("src"),
-        element_at(col("f"), 2).cast("long").as("dst"))
+      .select(col("value"), split(trim(col("value")), "\\s+").as("f"))
+      .select(col("value"),
+        expr("try_cast(try_element_at(f, 1) AS BIGINT)").as("src"),
+        expr("try_cast(try_element_at(f, 2) AS BIGINT)").as("dst"))
+    val raw = parsed
+      .select(
+        assert_true(col("src").isNotNull && col("dst").isNotNull,
+          concat(lit("invalid line in edge list file: "), col("value"))).as("__ok"),
+        col("src"), col("dst"))
+      .filter(col("__ok").isNull) // vacuously true; keeps the assert live
+      .select(col("src"), col("dst"))
     if (canonicalOrientation)
       raw.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))

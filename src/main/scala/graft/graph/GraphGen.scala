@@ -12,10 +12,8 @@ import org.apache.spark.sql.functions._
   * the baseline workload's scale. */
 object GraphGen {
 
-  private def unif(seed: Long, salt: Int, cols: org.apache.spark.sql.Column*) = {
-    val h = xxhash64((lit(seed) +: lit(salt) +: cols): _*)
-    (pmod(h, lit(1L << 40)).cast("double") + lit(0.5)) / lit((1L << 40).toDouble)
-  }
+  private def unif(seed: Long, salt: Int, cols: org.apache.spark.sql.Column*) =
+    HashRandom.unif(seed, salt, cols: _*)
 
   def logNormalEdges(spark: SparkSession, numVertices: Long, mu: Double = 4.0,
       sigma: Double = 1.3, seed: Long = 42L, maxDeg: Int = 10000,
@@ -24,11 +22,7 @@ object GraphGen {
       if (numPartitions > 0) spark.range(0, numVertices, 1, numPartitions)
       else spark.range(numVertices)
     val id = col("id")
-    val u1 = unif(seed, 1, id)
-    val u2 = unif(seed, 2, id)
-    val z = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-    val d = least(lit(maxDeg.toLong),
-      greatest(lit(0L), round(exp(lit(mu) + lit(sigma) * z)))).cast("long")
+    val d = HashRandom.logNormalDegree(seed, mu, sigma, maxDeg.toLong, id)
     base.select(id.as("src"),
         explode(when(d > 0, sequence(lit(0L), d - 1))
           .otherwise(array().cast("array<bigint>"))).as("k"))
@@ -63,7 +57,11 @@ object GraphGen {
       (when(u >= a + b, lit(1L << l)).otherwise(lit(0L)),
         when((u >= a && u < a + b) || u >= a + b + c, lit(1L << l)).otherwise(lit(0L)))
     }.unzip
-    base.select(srcBits.reduce(_ + _).as("src"), dstBits.reduce(_ + _).as("dst"))
+    // foldLeft, not reduce: numVertices = 1 (levels = 0, legal — it passes
+    // the power-of-two require) folds to lit(0) self-loops where reduce
+    // would throw on the empty bit list
+    base.select(srcBits.foldLeft(lit(0L))(_ + _).as("src"),
+      dstBits.foldLeft(lit(0L))(_ + _).as("dst"))
   }
 
   /** Reference `GraphGenerators.starGraph(n)`: edges (i → 0) for

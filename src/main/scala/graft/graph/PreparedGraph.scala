@@ -49,7 +49,13 @@ final class PreparedGraph private (
         PreparedGraph.blockCap(spark))
       .repartition(numPartitions, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    r.count()
+    try {
+      r.count()
+    } catch {
+      // a failed build must not strand the persisted entry (revBuilt stays
+      // false, so unpersist() would never reach it)
+      case t: Throwable => r.unpersist(false); throw t
+    }
     revBuilt = true
     r
   }
@@ -125,18 +131,28 @@ object PreparedGraph {
     val spark = edgesDf.sparkSession
     val e = edgesDf.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = e.count()
-    val p = graft.runtime.AdaptivePartitions.forRows(spark, edgeCount, numPartitions)
-    val adj = cappedBlocks(e, "src", "dst", "degree", "dsts", blockCap(spark))
-      .repartition(p, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = adj.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .repartition(p, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count(); verts.count()
-    e.unpersist(false)
-    new PreparedGraph(spark, adj, verts, p, edgeCount)
+    var adj: DataFrame = null
+    var verts: DataFrame = null
+    try {
+      val edgeCount = e.count()
+      val p = graft.runtime.AdaptivePartitions.forRows(spark, edgeCount, numPartitions)
+      adj = cappedBlocks(e, "src", "dst", "degree", "dsts", blockCap(spark))
+        .repartition(p, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      verts = adj.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .repartition(p, col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      adj.count(); verts.count()
+      new PreparedGraph(spark, adj, verts, p, edgeCount)
+    } catch {
+      // a failed build must not strand persisted blocks: the PreparedGraph
+      // was never constructed, so its unpersist() is unreachable
+      case t: Throwable =>
+        if (adj != null) adj.unpersist(false)
+        if (verts != null) verts.unpersist(false)
+        throw t
+    } finally e.unpersist(false)
   }
 }

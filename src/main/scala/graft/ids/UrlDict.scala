@@ -7,15 +7,24 @@ import org.apache.spark.sql.functions._
   *
   * Primary encoding is `xxhash64(url)` (a single codegen'd expression —
   * no shuffle, no global state, stable across cluster sizes), per the
-  * north-star's "Catalyst-native hashing/dictionary-encoding pass". At
-  * 10^12 urls the 64-bit birthday bound gives ~2.7e-2 expected collisions
-  * per 10^12 keys^2/2^65 — still audited explicitly: `auditCollisions`
-  * is a cheap groupBy that MUST be run (and fail loudly) before trusting
-  * an encoded edge table.
+  * north-star's "Catalyst-native hashing/dictionary-encoding pass".
   *
-  * `denseIds` is the optional compaction pass (ids 0..n-1 by url order)
-  * for CSR-style adjacency where id density matters; it costs a global
-  * sort and is meant for bounded vertex sets, not the full crawl.
+  * Scale boundary, stated honestly (64-bit birthday bound n²/2^65):
+  * at 10^9 urls ≈ 2.7e-2 expected collisions — the audit passes w.h.p.
+  * and the hash path is the right default. Expected collisions cross 1
+  * near ~6×10^9 distinct urls, and at the 10^12-document north-star
+  * target ≈ 2.7e4 collisions are EXPECTED — the pure-hash encoding
+  * CANNOT pass its own audit there. That is by design, not a bug:
+  * `auditCollisions` (a cheap groupBy that MUST run before trusting an
+  * encoded edge table) is the loud boundary enforcement, and past it the
+  * collision-free path is [[denseDict]] (ids assigned by url rank —
+  * no hashing in the final id), whose two-phase ranked build is sized
+  * for exactly that regime. The audited universe must be EVERY url the
+  * encoder hashes — page urls AND outlink targets (dangling targets
+  * dominate a real crawl) — as `Pipeline` does.
+  *
+  * `denseDict` is also the optional compaction pass (ids 0..n-1 by url
+  * order) for CSR-style adjacency where id density matters.
   */
 object UrlDict {
 
@@ -45,7 +54,10 @@ object UrlDict {
     * index from `monotonically_increasing_id` (partition id in the high
     * bits), then add per-partition offsets (a driver-side cumsum over the
     * tiny partition-count table). The result is the global url rank and is
-    * independent of where the sampled range boundaries land. */
+    * independent of where the sampled range boundaries land.
+    * @note the returned frame is localCheckpoint-backed — release with
+    *       `graft.runtime.IterationHygiene.releaseLocal` when done
+    *       (`Dataset.unpersist` cannot see a localCheckpoint's blocks). */
   def denseDict(urls: DataFrame, urlCol: String = "url",
       numPartitions: Int = 0): DataFrame = {
     val spark = urls.sparkSession

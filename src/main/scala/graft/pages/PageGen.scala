@@ -47,11 +47,10 @@ object PageGen {
     "victor", "whiskey", "xray", "yankee", "zulu", "crawl", "index",
     "graph", "link", "page", "rank", "web", "spark", "scala", "data")
 
-  /** Uniform double in (0,1), pure function of (seed, salt, cols). */
-  private def unif(seed: Long, salt: Int, cols: Column*): Column = {
-    val h = xxhash64((lit(seed) +: lit(salt) +: cols): _*)
-    (pmod(h, lit(1L << 40)).cast("double") + lit(0.5)) / lit((1L << 40).toDouble)
-  }
+  /** Uniform double in (0,1) — the shared single-copy primitive
+    * ([[graft.graph.HashRandom]]); determinism-critical, do not fork. */
+  private def unif(seed: Long, salt: Int, cols: Column*): Column =
+    graft.graph.HashRandom.unif(seed, salt, cols: _*)
 
   /** Canonical url of page `id` — same function for self urls and link
     * targets, so the dictionary closes over all urls in the corpus. */
@@ -60,16 +59,12 @@ object PageGen {
     concat(lit("https://h"), host, lit(".example.com/p/"), id)
   }
 
-  /** Out-degree of page `id`: round(exp(mu + sigma*z)), z ~ N(0,1) via
-    * Box–Muller on two hash-uniforms; clamped to [0, maxOutDeg]. */
-  private def outDegOf(cfg: Config, id: Column): Column = {
-    val u1 = unif(cfg.seed, 1, id)
-    val u2 = unif(cfg.seed, 2, id)
-    val z = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-    least(lit(cfg.maxOutDeg.toLong),
-      greatest(lit(0L), round(exp(lit(cfg.mu) + lit(cfg.sigma) * z))))
-      .cast("long")
-  }
+  /** Out-degree of page `id`: the shared logNormal degree law
+    * ([[graft.graph.HashRandom.logNormalDegree]] — Box–Muller on
+    * hash-uniforms, clamped to [0, maxOutDeg]). */
+  private def outDegOf(cfg: Config, id: Column): Column =
+    graft.graph.HashRandom.logNormalDegree(
+      cfg.seed, cfg.mu, cfg.sigma, cfg.maxOutDeg.toLong, id)
 
   /** Link target page id for (src page `id`, link slot `k`):
     * floor(n * u^skew) — power-law biased toward low ids. */
@@ -97,7 +92,7 @@ object PageGen {
       else spark.range(cfg.numPages)
     val id = col("id")
 
-    val wordArr = array(words.map(lit): _*)
+    val wordArr = array(words.toIndexedSeq.map(lit): _*)
     val nWords = (pmod(xxhash64(lit(cfg.seed), lit(4), id), lit(40L)) + 5L).cast("int")
     val bodyText = array_join(
       transform(sequence(lit(0), nWords - 1),

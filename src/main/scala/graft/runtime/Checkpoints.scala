@@ -208,6 +208,14 @@ final class StateRotator(cfg: Option[CheckpointConfig], algo: String) {
     * block set per algorithm run; durable-checkpoint runs release fully
     * on the next cadence). */
   def close(): Unit = { release = () => () }
+
+  /** Drop the FINAL state's blocks too — for auxiliary rotators whose
+    * last state nothing derived-but-unmaterialized depends on (e.g. the
+    * four side rotators of an SCC run once the result frame is
+    * materialized). Without this, each auxiliary rotator strands one
+    * |V|-sized localCheckpoint block set per run that no caller can ever
+    * release (`Dataset.unpersist` cannot reach it — see class doc #3). */
+  def releaseFinal(): Unit = { release(); release = () => () }
 }
 
 /** One-off plan+lineage truncation for loops whose state isn't a single

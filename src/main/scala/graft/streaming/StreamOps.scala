@@ -31,7 +31,12 @@ object StreamOps {
     * batch `Extract.outlinks` + `EdgeOps.encode` pipeline (pure
     * expressions: regexp extraction + xxhash64 encoding, no dictionary
     * join, so it is streaming-safe with NO state). Accepts either a
-    * streaming or a batch frame — identical results by construction. */
+    * streaming or a batch frame — identical results by construction.
+    *
+    * NOTE the hash-collision audit (`UrlDict.auditCollisions` over page
+    * urls AND link targets — the batch pipeline's stage-2 guard) cannot
+    * run inside a stream: run it periodically over the accumulated
+    * at-rest url universe before trusting the appended edge table. */
   def edgeStream(pages: DataFrame): DataFrame =
     EdgeOps.encode(Extract.outlinks(pages))
 

@@ -65,31 +65,35 @@ object Dedup {
           explode(shingles(col(textCol), k)).as("s"))
         .localCheckpoint(true)
     }
-    val filtered0 =
-      if (maxShingleFreq <= 0) sh
-      else {
+    // releases in try/finally: a failure while materializing the pair join
+    // (the documented quadratic-risk stage) must not strand the two
+    // shingle-table-sized eager block sets for the JVM's life
+    var filtered: DataFrame = sh
+    try {
+      if (maxShingleFreq > 0) {
         val freq = sh.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq)
-        sh.join(freq.select("s"), "s")
+        // the capped table also feeds both join sides — materialize it too
+        filtered = graft.runtime.Trace.stage("ngram_freq_cap") {
+          sh.join(freq.select("s"), "s").localCheckpoint(true)
+        }
       }
-    // the capped table also feeds both join sides — materialize it too
-    val filtered = if (maxShingleFreq <= 0) filtered0
-      else graft.runtime.Trace.stage("ngram_freq_cap") { filtered0.localCheckpoint(true) }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = filtered.select(col("id").as("ia"), col("s"))
-    val b = filtered.select(col("id").as("ib"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
-    val out = common
-      .join(sizes.select(col("id").as("ia"), col("n").as("na")), "ia")
-      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), "ib")
-      .select(col("ia"), col("ib"),
-        (col("common").cast("double") /
-          (col("na") + col("nb") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    val outCp = graft.runtime.Trace.stage("ngram_pair_join") { out.localCheckpoint(true) }
-    releaseLocalCheckpoint(sh)
-    if (maxShingleFreq > 0) releaseLocalCheckpoint(filtered)
-    outCp
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val a = filtered.select(col("id").as("ia"), col("s"))
+      val b = filtered.select(col("id").as("ib"), col("s"))
+      val common = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
+      val out = common
+        .join(sizes.select(col("id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("id").as("ib"), col("n").as("nb")), "ib")
+        .select(col("ia"), col("ib"),
+          (col("common").cast("double") /
+            (col("na") + col("nb") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      graft.runtime.Trace.stage("ngram_pair_join") { out.localCheckpoint(true) }
+    } finally {
+      graft.runtime.IterationHygiene.releaseLocal(sh)
+      if (filtered ne sh) graft.runtime.IterationHygiene.releaseLocal(filtered)
+    }
   }
 
   // --------------------------------------------------------------- minhash
@@ -134,36 +138,39 @@ object Dedup {
     val textIn = if (portable) PortableHash.assertAscii(col(textCol)) else col(textCol)
     val sh = docs.select(col(idCol).as("id"), shingles(textIn, k).as("sh"))
       .localCheckpoint(true)
-    val bandHash: (Column, Column) => Column =
-      if (portable) (b, sl) => PortableHash.polyCombine(sl, b)
-      else (b, sl) => xxhash64(b, sl)
-    val banded = sh
-      .select(col("id"),
-        minhashSignatureOfShingles(col("sh"), numHashes, portable).as("sig"))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => bandHash(b, slice(col("sig"), b * r + 1, lit(r))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-      .localCheckpoint(true)
-    val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
-    // verify candidates with exact Jaccard over shingle sets
-    val verified = cand
-      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
-      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .select(col("ia"), col("ib"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    // materialize the (small) result, then release the two intermediate
-    // localCheckpoints — their blocks are NOT CacheManager-tracked and
-    // would otherwise leak one shingle-table-sized block set per call
-    val out = verified.localCheckpoint(true)
-    releaseLocalCheckpoint(sh)
-    releaseLocalCheckpoint(banded)
-    out
+    var banded: DataFrame = null
+    // releases in try/finally: the intermediate blocks are NOT
+    // CacheManager-tracked and a failed materialization would otherwise
+    // leak one shingle-table-sized block set per call
+    try {
+      val bandHash: (Column, Column) => Column =
+        if (portable) (b, sl) => PortableHash.polyCombine(sl, b)
+        else (b, sl) => xxhash64(b, sl)
+      banded = sh
+        .select(col("id"),
+          minhashSignatureOfShingles(col("sh"), numHashes, portable).as("sig"))
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => bandHash(b, slice(col("sig"), b * r + 1, lit(r))))))
+        .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+        .localCheckpoint(true)
+      val cand = banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+      // verify candidates with exact Jaccard over shingle sets
+      val verified = cand
+        .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+        .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
+        .select(col("ia"), col("ib"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      verified.localCheckpoint(true) // materialize the (small) result
+    } finally {
+      graft.runtime.IterationHygiene.releaseLocal(sh)
+      if (banded != null) graft.runtime.IterationHygiene.releaseLocal(banded)
+    }
   }
 
   // ------------------------------------------------------- dup clusters
@@ -181,20 +188,27 @@ object Dedup {
     *
     * Scale shape: the pair graph is MUCH smaller than the corpus
     * (candidates were bucket-joined upstream), and CC is the engine's
-    * log-round alternating-star algorithm — no driver-side union-find. */
-  def dupClusters(pairs: DataFrame): DataFrame =
-    graft.runtime.Trace.stage("dedup_cc") {
+    * log-round alternating-star algorithm — no driver-side union-find.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; the engine-wide ownership contract). */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val cc = graft.runtime.Trace.stage("dedup_cc") {
       graft.algos.ConnectedComponents
         .run(pairs.select(col("ia").as("src"), col("ib").as("dst")))
-    }.select(col("id").as("doc_id"), col("component").as("cluster_id"),
-      (col("id") === col("component")).as("keep"))
-
-  /** Unpersist a localCheckpoint's internal RDD blocks (Dataset.unpersist
-    * does not track them — measured run-over-run leak otherwise). */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    }
+    // fresh persisted projection (caller-owned, releasable via unpersist);
+    // the CC result's own cache entry is released here — a lazy projection
+    // over it would leave callers NO handle to that entry (the projection
+    // is not sameResult with CC's cached plan, so unpersisting it is a
+    // no-op and each call would pin a pair-graph-sized cache forever)
+    val out = cc
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cc.unpersist(false)
+    out
+  }
 
   // --------------------------------------------------------------- simhash
 
@@ -237,47 +251,65 @@ object Dedup {
     *    CHUNK PAIRS instead — split into k = maxHamming+2 chunks; ≤
     *    maxHamming differing chunks leaves ≥2 equal, so every true pair
     *    shares an exact (i, j, vᵢ, vⱼ) pair-bucket with a 2·(64/k)-bit
-    *    value key. C(k,2) buckets per doc, but never a 7-bit key. */
+    *    value key. C(k,2) buckets per doc.
+    *
+    * `maxHamming` is capped at 7: beyond it the pair-bucket value key
+    * drops below 2·(64/9) = 14 bits and candidate volume grows toward
+    * (and past) all-pairs — the quadratic regime this operator exists to
+    * avoid. Distances that loose on a 64-bit signature separate nothing
+    * anyway (Manku et al. operate at 3). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       portable: Boolean = false): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 30, s"maxHamming=$maxHamming out of range")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming out of range: must be in [0, 7] — larger " +
+        "radii make the pair-bucket keys non-selective (quadratic candidate " +
+        "volume at corpus scale) and are meaningless on a 64-bit simhash")
     // hash once, reused by both self-join sides and released after the
     // (small) result is materialized
     val sig = if (portable) simhashPortable(col(textCol)) else simhash(col(textCol))
     val withSh = docs.select(col(idCol).as("id"), sig.as("sh"))
       .localCheckpoint(true)
-    def chunksOf(k: Int, w: Int): Column =
-      transform(sequence(lit(0), lit(k - 1)),
-        c => call_function("shiftrightunsigned", col("sh"), (c * w).cast("int"))
-          .bitwiseAND((1L << w) - 1))
-    val banded =
-      if (maxHamming <= 3) {
-        val k = maxHamming + 1
-        val w = 64 / k // ≥ 16 bits
-        withSh.select(col("id"), col("sh"), posexplode(chunksOf(k, w)))
-          .select(col("id"), col("sh"), col("pos").as("b"), col("col").as("v"))
-      } else {
-        val k = maxHamming + 2
-        val w = 64 / k
-        val chunks = chunksOf(k, w)
-        val combos = flatten(transform(sequence(lit(0), lit(k - 2)), i =>
-          transform(sequence(i + 1, lit(k - 1)), j =>
-            struct((i * k + j).as("b"),
-              (element_at(chunks, (i + 1).cast("int")) * (1L << w) +
-                element_at(chunks, (j + 1).cast("int"))).as("v")))))
-        withSh.select(col("id"), col("sh"), explode(combos).as("e"))
-          .select(col("id"), col("sh"), col("e.b").as("b"), col("e.v").as("v"))
+    try {
+      // NOTE w = 64 (maxHamming = 0): 1L << 64 wraps to 1 in Java/Scala
+      // (shifts are mod 64), so (1L << w) - 1 would be 0 — an all-zero
+      // "mask" that put every doc in ONE bucket (all-pairs cross join).
+      // Band on the full signature instead.
+      def chunksOf(k: Int, w: Int): Column = {
+        val mask = if (w == 64) -1L else (1L << w) - 1
+        transform(sequence(lit(0), lit(k - 1)),
+          c => call_function("shiftrightunsigned", col("sh"), (c * w).cast("int"))
+            .bitwiseAND(mask))
       }
-    val pairs = banded.alias("x").join(banded.alias("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ia"), col("y.id").as("ib"),
-        call_function("bit_count", col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-    val out = pairs.localCheckpoint(true)
-    releaseLocalCheckpoint(withSh)
-    out
+      val banded =
+        if (maxHamming <= 3) {
+          val k = maxHamming + 1
+          val w = 64 / k // ≥ 16 bits
+          withSh.select(col("id"), col("sh"), posexplode(chunksOf(k, w)))
+            .select(col("id"), col("sh"), col("pos").as("b"), col("col").as("v"))
+        } else {
+          val k = maxHamming + 2
+          val w = 64 / k
+          val chunks = chunksOf(k, w)
+          val combos = flatten(transform(sequence(lit(0), lit(k - 2)), i =>
+            transform(sequence(i + 1, lit(k - 1)), j =>
+              struct((i * k + j).as("b"),
+                (element_at(chunks, (i + 1).cast("int")) * (1L << w) +
+                  element_at(chunks, (j + 1).cast("int"))).as("v")))))
+          withSh.select(col("id"), col("sh"), explode(combos).as("e"))
+            .select(col("id"), col("sh"), col("e.b").as("b"), col("e.v").as("v"))
+        }
+      // hamming is deterministic per (ia, ib), so the verify filter
+      // commutes with distinct — filter FIRST so the dedup shuffle only
+      // carries verified pairs, not every band collision
+      val pairs = banded.alias("x").join(banded.alias("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("ia"), col("y.id").as("ib"),
+          call_function("bit_count", col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      pairs.localCheckpoint(true)
+    } finally graft.runtime.IterationHygiene.releaseLocal(withSh)
   }
 }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens. Java `\s` = `[ \t\n\x0B\f\r]` — one character
+    * WIDER than RE2/DuckDB's `\s` (no `\x0B`), and vertical tab is ASCII
+    * so the portable-mode ASCII gate can't catch the difference; the
+    * DuckDB oracle twins therefore spell the Java class out explicitly
+    * (`DocQueries`) instead of using `\s`. */
   def tokensWs(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
@@ -128,10 +132,10 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     val (tfPlan, n) = tfParts(docs, idCol, textCol)
     val tf = tfPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // populate once: the df branch and the join probe side read the cache
-    val out = tfidfOf(tf, n).localCheckpoint(true)
-    tf.unpersist(false)
-    out
+    try {
+      tf.count() // populate once: the df branch and the join probe side read the cache
+      tfidfOf(tf, n).localCheckpoint(true)
+    } finally tf.unpersist(false) // release on failure too — no stranded cache
   }
 
   /** Map-side-combined (doc_id, token, tf) counts + the 1-row corpus-size
