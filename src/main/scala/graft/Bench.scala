@@ -19,6 +19,9 @@ import graft.graph.GraphGen
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats via the DEFAULT locale: a non-dot-decimal
+    // locale would turn every number into "1,234" and break the JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERTS", "100000").toLong
@@ -66,15 +69,21 @@ object Bench {
     // legitimately create the memoized graph/pair frames later queries
     // reuse.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        releaseNew: Boolean = false): Option[Double] = {
+        releaseNew: Boolean = false,
+        errorSink: scala.collection.mutable.Map[String, String] = errors): Option[Double] = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       graft.runtime.Trace.startCollecting()
       var failed = false
       val (_, dt) = time {
-        try fn(spark, sfDir).count()
+        // toRdd.count(), not Dataset.count(): the Aggregate[count(1)] form
+        // lets Catalyst column-prune EVERY projected expression out of a
+        // pure-projection query (doc stats, text quality, emb norms would
+        // be timed as a bare parquet footer scan); toRdd materializes all
+        // output columns, so the timing covers the query's actual work
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           failed = true
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          errorSink(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
         }
       }
       val st = graft.runtime.Trace.drain()
@@ -86,22 +95,35 @@ object Bench {
       if (failed) None else Some(dt)
     }
     val storageStart = storageSnap()
+    // a rerun-only flake must not mark a successfully-timed query as
+    // errored (drivers treat any "errors" key as a failed query, and the
+    // total would then disagree with the exclude-errored rule) — rerun
+    // failures are reported separately
+    val rerunErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val firsts = ordered.map { case (name, fn) => name -> once(name, fn) }
     val okFirsts = firsts.collect { case (n, Some(t)) => (n, t) }
     val rerun = (okFirsts.sortBy(-_._2).take(rerunTopN) ++
       okFirsts.filter(_._2 > medianAbove)).map(_._1).toSet
+    def median(s: Seq[Double]): Double = {
+      val v = s.sorted
+      // true median: an even survivor count (one rerun errored) must not
+      // pick the larger middle value — that reported the WORST surviving
+      // run for precisely the flaky cases the rerun machinery targets
+      if (v.size % 2 == 1) v(v.size / 2)
+      else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
+    }
     val results = ordered.map { case (name, fn) =>
       val first = firsts.toMap.apply(name)
       val extra =
         if (first.isDefined && rerun(name))
-          Seq(once(name, fn, releaseNew = true),
-            once(name, fn, releaseNew = true)).flatten
+          Seq(once(name, fn, releaseNew = true, errorSink = rerunErrors),
+            once(name, fn, releaseNew = true, errorSink = rerunErrors)).flatten
         else Nil
       val ok = first.toSeq ++ extra
       rawRuns(name) = ok
       // all runs errored → nothing to report but the error entry; a
       // sentinel keeps the JSON well-formed without faking a timing
-      name -> (if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2))
+      name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
     val firstJson = okFirsts.map { case (n, t) => "\"" + n + f"\":$t%.3f" }
       .mkString("{", ",", "}")
@@ -139,6 +161,11 @@ object Bench {
     }
     val prSec = runs.min
     val edgesPerSecPerSuperstep = numEdges.toDouble * iters / prSec
+    // release the headline graph before the next phase (its adjacency and
+    // the runs' final-state blocks otherwise ride through the tol + rmat
+    // phases as exactly the cache residue the phase-boundary cleanup
+    // above exists to prevent)
+    g.unpersist()
 
     // iterations to 1e-6 (deterministic; smaller sparse graph keeps it cheap)
     val smallEdges = GraphGen.logNormalEdges(spark, 10000, mu = 1.5, sigma = 1.0,
@@ -147,11 +174,24 @@ object Bench {
     val ckdir = java.nio.file.Files.createTempDirectory("benchck").toString
     val ck = graft.runtime.CheckpointConfig(ckdir, "bench", every = 1000, localEvery = 2)
     val (_, tolSec) = time {
-      PageRank.run(smallEdges, PageRank.Config(tol = Some(1e-6),
-        checkpoint = Some(ck))).count()
+      val tolRanks = PageRank.run(smallEdges, PageRank.Config(tol = Some(1e-6),
+        checkpoint = Some(ck)))
+      tolRanks.count()
+      tolRanks.unpersist(false)
     }
     val itersTo1e6 = graft.runtime.Checkpoints
       .readLog(spark, ck, "pagerank_tol").agg(max("superstep")).first().getInt(0)
+    smallEdges.unpersist(false)
+    // final-state localCheckpoint blocks of the headline + tol runs live
+    // outside the CacheManager — sweep before the rmat phase, and drop
+    // the temp checkpoint dir
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(ckdir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 
     // adversarial-skew workload (VERDICT r3 next #5): R-MAT concentrates
     // hub mass near vertex 0 — a power-law tail logNormal doesn't reach —
@@ -198,10 +238,12 @@ object Bench {
       s""""suite_end":{"rdds":${storageEnd._1},"bytes":${storageEnd._2}},""" +
       s""""after_cleanup":{"rdds":${storageClean._1},"bytes":${storageClean._2}}}"""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
+    val rerunErrJson =
+      rerunErrors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     // the -1.0 all-runs-errored sentinel must not subtract from the total
     val total = results.map(_._2).filter(_ >= 0).sum + prSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_first":$firstJson,"query_runs":$qraw,"stages":$stagesJson,"storage":$storageJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"rmat_bench":{"vertices":$rmatVerts,"edges":${rg.numEdges},"max_out_degree":$maxOutDeg,"p99_out_degree":$p99OutDeg,"prep_sec":$rmatPrepSec%.3f,"pagerank_sec":$rmatPrSec%.3f,"pagerank_runs":[${rmatRuns.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":${rg.numEdges.toDouble * iters / rmatPrSec}%.0f,"cc_sec":$rmatCcSec%.3f,"cc_vertices":$ccRmat},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_first":$firstJson,"query_runs":$qraw,"stages":$stagesJson,"storage":$storageJson,"errors":$errJson,"rerun_errors":$rerunErrJson,"sf":"$sfDir","cpus":$cpus,"pagerank_bench":{"vertices":$benchVerts,"edges":$numEdges,"supersteps":$iters,"prep_sec":$prepSec%.3f,"sec":$prSec%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":$edgesPerSecPerSuperstep%.0f},"rmat_bench":{"vertices":$rmatVerts,"edges":${rg.numEdges},"max_out_degree":$maxOutDeg,"p99_out_degree":$p99OutDeg,"prep_sec":$rmatPrepSec%.3f,"pagerank_sec":$rmatPrSec%.3f,"pagerank_runs":[${rmatRuns.map(r => f"$r%.3f").mkString(",")}],"edges_per_sec_per_superstep":${rg.numEdges.toDouble * iters / rmatPrSec}%.0f,"cc_sec":$rmatCcSec%.3f,"cc_vertices":$ccRmat},"iters_to_1e6_10k":$itersTo1e6,"iters_to_1e6_sec":$tolSec%.3f}"""
     // bare JSON as a stdout line AND a file copy — the driver parses
     // whichever survives the launcher's log wrapping
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

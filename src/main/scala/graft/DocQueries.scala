@@ -28,17 +28,22 @@ object DocQueries {
     * `DriverQueries.graphMemo` memoizes the derived graphs — bounded: one
     * small localCheckpointed pair frame per testdata dir. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+    // collision-free session key + dead-session eviction (see
+    // runtime.SessionKeys — identityHashCode keys could collide after GC)
+    graft.runtime.SessionKeys.purgeDead(pairsMemo,
+      (k: (String, String)) => k._1)
+    pairsMemo.getOrElseUpdate((graft.runtime.SessionKeys.of(spark), dir),
       Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
+  }
 
   /** Release the memoized pair frames of `spark` (bench phase boundaries;
     * the frames are localCheckpoints, whose blocks `clearCache` does NOT
     * release). */
   def clearMemo(spark: SparkSession): Unit = {
-    val h = System.identityHashCode(spark)
+    val h = graft.runtime.SessionKeys.of(spark)
     pairsMemo.keys.filter(_._1 == h).foreach { k =>
       pairsMemo.remove(k).foreach(graft.runtime.IterationHygiene.releaseLocal)
     }

@@ -40,19 +40,24 @@ object DriverQueries {
     * per (kind, session, dir) — bounded: two small cached frames per
     * testdata dir. */
   private val graphMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   private def memoized(kind: String, spark: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame =
-    graphMemo.getOrElseUpdate((kind, System.identityHashCode(spark), dir), {
+      build: => DataFrame): DataFrame = {
+    // collision-free session key (identityHashCode is not unique across a
+    // session's lifetime+GC) + eviction of dead-session entries
+    graft.runtime.SessionKeys.purgeDead(graphMemo,
+      (k: (String, String, String)) => k._2)
+    graphMemo.getOrElseUpdate((kind, graft.runtime.SessionKeys.of(spark), dir), {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })
+  }
 
   /** Release the memoized graphs of `spark` (bench phase boundaries). */
   def clearMemo(spark: SparkSession): Unit = {
-    val h = System.identityHashCode(spark)
+    val h = graft.runtime.SessionKeys.of(spark)
     graphMemo.keys.filter(_._2 == h).foreach { k =>
       graphMemo.remove(k).foreach(_.unpersist(false))
     }
@@ -328,8 +333,13 @@ object DriverQueries {
     val (state, _) = graft.algos.SVDPlusPlus.run(ratingEdges(spark, dir),
       graft.algos.SVDPlusPlus.Conf(rank = 2, maxIters = 0),
       initFactors = Some((SvdV1, SvdV2)))
+    // materialize the projection BEFORE releasing the state cache: a lazy
+    // projection over an unpersisted state would re-run the final error
+    // pass (the query's most expensive stage) on every caller evaluation
     val out = state.select(col("id"), round(col("bias"), 6).as("bias"),
-      round(col("norm"), 6).as("norm"))
+        round(col("norm"), 6).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     state.unpersist(false)
     out
   }
@@ -367,13 +377,16 @@ object DriverQueries {
     val (state, _) = graft.algos.SVDPlusPlus.run(ratingEdges(spark, dir),
       graft.algos.SVDPlusPlus.Conf(rank = 2, maxIters = 1),
       initFactors = Some((SvdV1, SvdV2)))
+    // materialized before the state release — see qSvdpp
     val out = state.select(col("id"),
-      round(element_at(col("factor"), 1), 6).as("f1"),
-      round(element_at(col("factor"), 2), 6).as("f2"),
-      round(element_at(col("factor2"), 1), 6).as("t1"),
-      round(element_at(col("factor2"), 2), 6).as("t2"),
-      round(col("bias"), 6).as("bias"),
-      round(col("norm"), 6).as("norm"))
+        round(element_at(col("factor"), 1), 6).as("f1"),
+        round(element_at(col("factor"), 2), 6).as("f2"),
+        round(element_at(col("factor2"), 1), 6).as("t1"),
+        round(element_at(col("factor2"), 2), 6).as("t2"),
+        round(col("bias"), 6).as("bias"),
+        round(col("norm"), 6).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     state.unpersist(false)
     out
   }
@@ -439,8 +452,15 @@ object DriverQueries {
 
   // ------------------------------------------------------------- triangles
 
+  /** Per-vertex triangle frame, memoized per (session, dir): q_triangles
+    * and q_triangles_total share one pipeline execution instead of each
+    * re-running the canonicalize/orient/wedge-join — the same
+    * re-derivation waste graphMemo/pairsMemo kill elsewhere. */
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    memoized("triangles", spark, dir)(TriangleCount.run(ringGraph(spark, dir)))
+
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
-    TriangleCount.run(ringGraph(spark, dir))
+    triangleCounts(spark, dir)
 
   val qTrianglesSql: String =
     s"""WITH ce AS ($ringGraphSql),
@@ -458,7 +478,8 @@ object DriverQueries {
   def qTrianglesTotal(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import s.implicits._
-    Seq(TriangleCount.total(ringGraph(spark, dir))).toDF("total")
+    val r = triangleCounts(spark, dir).agg(sum("triangles")).first()
+    Seq(if (r.isNullAt(0)) 0L else r.getLong(0) / 3).toDF("total")
   }
 
   val qTrianglesTotalSql: String =

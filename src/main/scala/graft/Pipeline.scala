@@ -33,6 +33,9 @@ object Pipeline {
       components: Long, rankSum: Double, resumedFromSuperstep: Int)
 
   def main(args: Array[String]): Unit = {
+    // f-interpolator formats via the default locale; pin ROOT so the
+    // emitted JSON always uses dot decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val pos = args.filterNot(_.startsWith("--"))
     require(pos.nonEmpty, "usage: graft.Pipeline <workDir> [numPages] [--resume]")
     val workDir = pos(0)

@@ -7,6 +7,9 @@ import org.apache.spark.sql.SparkSession
   * time. Usage: Profile <sfDir> <query> [query...] */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formats via the default locale; pin ROOT so the
+    // emitted JSON always uses dot decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.head
     val names = args.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

@@ -30,6 +30,9 @@ import graft.textops.Dedup
   */
 object ScaleTrend {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formats via the default locale; pin ROOT so the
+    // emitted JSON always uses dot decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_TREND_MULT", "10").toInt
     // mult = 1 would make the exponent log(t2/t1)/log(1) = NaN/Infinity —

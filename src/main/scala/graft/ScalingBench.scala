@@ -19,6 +19,9 @@ import graft.graph.{GraphGen, PreparedGraph}
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formats via the default locale; pin ROOT so the
+    // emitted JSON always uses dot decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nVerts = sys.env.getOrElse("SPARK_SCALE_VERTS", "1000000").toLong
     val iters = 5
     val levels = sys.env.getOrElse("SPARK_SCALE_LEVELS", "8,32")

@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formats via the default locale; pin ROOT so the
+    // emitted JSON always uses dot decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
