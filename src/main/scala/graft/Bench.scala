@@ -188,9 +188,10 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     locally {
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(ckdir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckdir))
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
 
     // adversarial-skew workload (VERDICT r3 next #5): R-MAT concentrates

@@ -31,10 +31,9 @@ object DocQueries {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    // collision-free session key + dead-session eviction (see
+    // collision-free session key + stopped-session eviction (see
     // runtime.SessionKeys — identityHashCode keys could collide after GC)
-    graft.runtime.SessionKeys.purgeDead(pairsMemo,
-      (k: (String, String)) => k._1)
+    graft.runtime.SessionKeys.purgeStopped(pairsMemo)
     pairsMemo.getOrElseUpdate((graft.runtime.SessionKeys.of(spark), dir),
       Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
   }

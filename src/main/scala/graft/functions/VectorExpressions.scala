@@ -420,10 +420,16 @@ case class VectorSum(child: Expression,
   override def eval(buffer: Array[Double]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // one marker byte distinguishes a NON-NULL zero-length buffer (a group
+  // whose vectors were all empty — eval returns []) from the null
+  // nothing-seen buffer: without it, serialize mapped both to zero bytes,
+  // so the same group returned [] or null depending on whether partial
+  // aggregation crossed a shuffle
   override def serialize(buffer: Array[Double]): Array[Byte] =
     if (buffer == null) Array.emptyByteArray
     else {
-      val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+      val bb = java.nio.ByteBuffer.allocate(1 + 8 * buffer.length)
+      bb.put(1: Byte)
       bb.asDoubleBuffer().put(buffer)
       bb.array()
     }
@@ -431,8 +437,10 @@ case class VectorSum(child: Expression,
   override def deserialize(bytes: Array[Byte]): Array[Double] =
     if (bytes.isEmpty) null
     else {
-      val out = new Array[Double](bytes.length / 8)
-      java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+      val out = new Array[Double]((bytes.length - 1) / 8)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.get()
+      bb.asDoubleBuffer().get(out)
       out
     }
 

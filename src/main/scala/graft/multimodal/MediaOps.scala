@@ -68,19 +68,28 @@ object MediaOps {
   /** Frame-sample plan for video payloads: one row per sampled frame
     * timestamp (pure plumbing — the decode of each frame goes through the
     * same stub seam). */
-  def frameSamplePlan(media: DataFrame, fps: Double): DataFrame =
+  def frameSamplePlan(media: DataFrame, fps: Double): DataFrame = {
+    // ceil: any nonzero duration samples at least its first frame (a 5 ms
+    // clip at 1 fps is still one frame at ts 0), while zero-duration media
+    // (images, corrupt probes) sample ZERO frames — explode of an empty
+    // array drops the row; the old greatest(0, n-1) clamp emitted a
+    // phantom frame_idx-0 row for them
+    val frameCount = ceil(col("meta.durationMs") * fps / 1000.0).cast("long")
     media.select(col("media_id"),
-        explode(sequence(lit(0L),
-          greatest(lit(0L), (col("meta.durationMs") * fps / 1000.0).cast("long") - 1)))
+        explode(when(frameCount > 0, sequence(lit(0L), frameCount - 1))
+          .otherwise(array().cast("array<bigint>")))
           .as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * (1000.0 / fps)).cast("long").as("ts_ms"))
+  }
 
   /** Size-banded repartitioning: large payloads spread across partitions
     * (hash of id), so a handful of giant videos can't skew one task. */
   def repartitionBySize(media: DataFrame, numPartitions: Int): DataFrame =
-    media.repartition(numPartitions,
-      pmod(hash(col("media_id"), length(col("bytes"))), lit(numPartitions)))
+    // hash ONCE: repartition(n, expr) already murmur3-hashes the exprs —
+    // pre-bucketing with pmod(hash…) would re-hash the bucket number,
+    // leaving ~1/e of the partitions empty (balls-into-bins over n values)
+    media.repartition(numPartitions, col("media_id"), length(col("bytes")))
 
   /** Deterministic synthetic media table for tests (payload bytes are a
     * pure function of id). */

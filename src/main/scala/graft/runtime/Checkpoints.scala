@@ -71,7 +71,11 @@ object Checkpoints {
       algo: String, fp: String): Unit = {
     val io = TableIO.forSession(spark)
     val ref = fingerprintRef(cfg, algo)
-    if (!io.exists(spark, ref)) {
+    // gate on committed(), not exists(): a run killed mid-write leaves a
+    // torn _config that exists() would treat as done, permanently (and
+    // silently) disarming the drift guard — rewrite it instead (write is
+    // an overwrite), same stage-skip rule every other stage follows
+    if (!io.committed(spark, ref)) {
       import spark.implicits._
       io.write(Seq(fp).toDF("fingerprint"), ref)
     }

@@ -1,15 +1,18 @@
 package graft.runtime
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stable, collision-free identity keys for per-session memoization.
   *
   * `System.identityHashCode` is NOT unique: after GC a new session can
   * collide with a stopped one's hash and a memo would serve a frame bound
   * to a dead SparkContext. This helper mints one UUID per live session in
-  * a weak map (stopped sessions fall out on GC), and [[purgeDead]] lets
-  * memo owners drop entries whose session is gone — the frames' blocks
-  * died with the context, so the entries are dropped WITHOUT unpersist. */
+  * a weak map, and [[purgeStopped]] lets memo owners drop entries whose
+  * session has been STOPPED — the frames' cached blocks died with the
+  * context, so those entries are dropped WITHOUT unpersist. (Eviction
+  * keys off `sparkContext.isStopped` via the memoized frame itself, not
+  * off the weak map: a memoized Dataset strongly references its session,
+  * so a GC-based liveness test could never observe one as dead.) */
 private[graft] object SessionKeys {
 
   private val keys = new java.util.WeakHashMap[SparkSession, String]
@@ -21,16 +24,10 @@ private[graft] object SessionKeys {
     }
   }
 
-  private def alive(): Set[String] = keys.synchronized {
-    import scala.jdk.CollectionConverters._
-    keys.values.asScala.toSet
-  }
-
-  /** Remove entries of `memo` whose session key no longer belongs to a
-    * live session. `sessionKeyOf` extracts the key from a map key. */
-  def purgeDead[K, V](memo: scala.collection.concurrent.TrieMap[K, V],
-      sessionKeyOf: K => String): Unit = {
-    val live = alive()
-    memo.keys.filterNot(k => live(sessionKeyOf(k))).foreach(memo.remove)
-  }
+  /** Remove entries of `memo` whose frame belongs to a stopped session. */
+  def purgeStopped[K](
+      memo: scala.collection.concurrent.TrieMap[K, DataFrame]): Unit =
+    memo.foreach { case (k, df) =>
+      if (df.sparkSession.sparkContext.isStopped) memo.remove(k)
+    }
 }

@@ -207,8 +207,22 @@ final class IcebergTableIO(catalog: String, namespace: String = "graft",
     * child name; a child present under both schemes lists once. */
   override def children(spark: SparkSession, ref: String): Seq[String] = {
     val prefix = sanitized(ref) + "_"
-    spark.sql(s"SHOW TABLES IN $catalog.$namespace")
-      .select("tableName").collect().map(_.getString(0)).toSeq
+    // a fresh catalog has no namespace yet — that means "no checkpoints"
+    // (the parquet impl's fs.exists guard), not a crash in discovery
+    val names =
+      try spark.sql(s"SHOW TABLES IN $catalog.$namespace")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      catch {
+        // the catalog API contract (TableCatalog.listTables) throws the
+        // former; the analyzer pre-check surfaces the latter condition —
+        // anything else (misconfigured catalog, auth) still propagates
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+          Seq.empty[String]
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "SCHEMA_NOT_FOUND" =>
+          Seq.empty[String]
+      }
+    names
       .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
       .map(_.replaceAll("_h[0-9a-f]{8}$", ""))
       .distinct

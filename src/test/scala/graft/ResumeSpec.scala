@@ -45,6 +45,27 @@ class ResumeSpec extends SparkTestBase {
     ok.unpersist(false)
   }
 
+  test("a torn _config write (killed first run) is repaired, not treated " +
+      "as recorded — the drift guard stays armed (review r5)") {
+    val dir = java.nio.file.Files.createTempDirectory("resume_torn").toString
+    val ck = CheckpointConfig(dir, "torn1", every = 1)
+    Checkpoints.recordFingerprint(spark, ck, "pagerank", "fpA")
+    // tear it: the dir exists (exists()=true) but the commit marker is
+    // gone (committed()=false) — exactly what a mid-write kill leaves
+    val ref = Checkpoints.fingerprintRef(ck, "pagerank")
+    val marker = new java.io.File(ref, "_SUCCESS")
+    assert(marker.exists(), "parquet write should have left a _SUCCESS")
+    assert(marker.delete())
+    // the old exists() gate would skip this write forever, silently
+    // disarming verifyFingerprint (which correctly requires committed())
+    Checkpoints.recordFingerprint(spark, ck, "pagerank", "fpB")
+    Checkpoints.verifyFingerprint(spark, ck, "pagerank", "fpB") // re-armed
+    val e = intercept[IllegalArgumentException] {
+      Checkpoints.verifyFingerprint(spark, ck, "pagerank", "fpC")
+    }
+    assert(e.getMessage.contains("refusing to resume"))
+  }
+
   test("tol-mode pagerank resumed from checkpoint is bit-identical") {
     val edges = edgesDF(randomEdges(11, n = 80, m = 300))
     val dir = java.nio.file.Files.createTempDirectory("resume_tol").toString

@@ -132,8 +132,13 @@ class StructuralOpsSpec extends SparkTestBase {
     val frames = MediaOps.frameSamplePlan(media, fps = 1.0)
     val byId = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // duration i%60000 ms at 1 fps → max(1, floor(duration/1000)) frames (min 1 via greatest)
-    assert(byId(5L) == 1L) // 5ms duration → 1 frame (floor=0 → greatest(0, -1)=0 → seq(0,0) = 1 row)
+    // duration i%60000 ms at 1 fps → ceil(duration/1000) frames
+    assert(byId(5L) == 1L) // 5ms duration → ceil = 1 frame at ts 0
+    assert(!byId.contains(0L)) // zero-duration media → ZERO frames, no phantom row
+    assert(byId(7L) == 1L)
+    val ts = frames.filter(col("media_id") === 7L).select("ts_ms")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(0L)) // the one sampled frame is the clip's start
   }
 
   test("collectNeighborIds In/Out/Either matches the jar per direction " +

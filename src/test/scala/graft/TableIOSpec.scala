@@ -155,4 +155,25 @@ class TableIOSpec extends SparkTestBase {
       TestTableCatalog.clear()
     }
   }
+
+  test("DSv2: checkpoint discovery on a FRESH catalog (namespace not yet " +
+      "created) reports 'no checkpoints' instead of crashing (review r5)") {
+    spark.conf.set("spark.sql.catalog.graftfresh",
+      classOf[FreshNamespaceCatalog].getName)
+    spark.conf.set(TableIO.ImplKey, "iceberg")
+    spark.conf.set(TableIO.CatalogKey, "graftfresh")
+    try {
+      TestTableCatalog.clear()
+      val io = TableIO.forSession(spark)
+      assert(io.children(spark, "ck/run1/pagerank") == Nil,
+        "a namespace-less catalog lists no children")
+      val cfg = graft.runtime.CheckpointConfig("ck", "run1", every = 1)
+      assert(graft.runtime.Checkpoints.latest(spark, cfg, "pagerank").isEmpty,
+        "resume against a fresh catalog starts from scratch, not a crash")
+    } finally {
+      spark.conf.unset(TableIO.ImplKey)
+      spark.conf.unset(TableIO.CatalogKey)
+      TestTableCatalog.clear()
+    }
+  }
 }

@@ -137,3 +137,16 @@ final class MemWriterFactory extends DataWriterFactory {
       override def close(): Unit = ()
     }
 }
+
+/** [[TestTableCatalog]] variant that mimics Iceberg's FRESH-catalog
+  * behavior: listing a namespace no write has created yet throws
+  * `NoSuchNamespaceException` (the `TableCatalog.listTables` contract)
+  * instead of returning an empty listing. */
+final class FreshNamespaceCatalog extends TestTableCatalog {
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val r = super.listTables(namespace)
+    if (r.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    r
+  }
+}

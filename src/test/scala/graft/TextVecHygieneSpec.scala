@@ -76,4 +76,27 @@ class TextVecHygieneSpec extends SparkTestBase {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"token count ${r.getLong(0)} != expected ${r.getLong(1)}"))
   }
+
+  test("vectorSum: an all-empty-vector group yields [] (not null) even " +
+    "when partial aggregation crosses the shuffle (review r5: serialize " +
+    "mapped a non-null zero-length buffer to the null wire form)") {
+    // one group, rows spread over 4 input partitions: each partition's
+    // partial buffer is a NON-null empty array that must survive the
+    // serialize → shuffle → deserialize → merge path as "seen but empty"
+    val df = spark.range(0, 8, 1, 4)
+      .select(lit(1L).as("k"), array().cast("array<double>").as("v"))
+    val r = df.groupBy("k")
+      .agg(org.apache.spark.sql.graftvec.VectorExpressions.vectorSum(col("v"))
+        .as("s")).collect()(0)
+    assert(!r.isNullAt(1),
+      "empty-vector group collapsed to null across the partial/final shuffle")
+    assert(r.getSeq[Double](1).isEmpty)
+    // null vectors alone (never a non-null input) still yield null
+    val rn = spark.range(0, 4, 1, 2)
+      .select(lit(1L).as("k"), lit(null).cast("array<double>").as("v"))
+      .groupBy("k")
+      .agg(org.apache.spark.sql.graftvec.VectorExpressions.vectorSum(col("v"))
+        .as("s")).collect()(0)
+    assert(rn.isNullAt(1), "nothing-seen group must stay null")
+  }
 }
