@@ -19,23 +19,11 @@ import graft.graph.GraphGen
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    // the f-interpolator formats via the DEFAULT locale: a non-dot-decimal
-    // locale would turn every number into "1,234" and break the JSON
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERTS", "100000").toLong
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      // iterative state joins: hash join (broadcast/shuffled), never
-      // re-sort the big cached side every superstep
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, "graft-bench")
 
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)

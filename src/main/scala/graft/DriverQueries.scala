@@ -49,7 +49,10 @@ object DriverQueries {
     graft.runtime.SessionKeys.purgeStopped(graphMemo)
     graphMemo.getOrElseUpdate((kind, graft.runtime.SessionKeys.of(spark), dir), {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
+      // release on failed materialization: getOrElseUpdate aborts without
+      // recording the entry, so clearMemo could never reach the pinned cache
+      try df.count()
+      catch { case t: Throwable => df.unpersist(false); throw t }
       df
     })
   }
@@ -338,7 +341,10 @@ object DriverQueries {
     val out = state.select(col("id"), round(col("bias"), 6).as("bias"),
         round(col("norm"), 6).as("norm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // state is released whether materialization succeeds or fails — a
+    // failure must not strand the SVD state cache for the session's life
+    try out.count()
+    catch { case t: Throwable => out.unpersist(false); state.unpersist(false); throw t }
     state.unpersist(false)
     out
   }
@@ -385,7 +391,9 @@ object DriverQueries {
         round(col("bias"), 6).as("bias"),
         round(col("norm"), 6).as("norm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // release-on-failure — see qSvdpp
+    try out.count()
+    catch { case t: Throwable => out.unpersist(false); state.unpersist(false); throw t }
     state.unpersist(false)
     out
   }

@@ -7,22 +7,11 @@ import org.apache.spark.sql.SparkSession
   * time. Usage: Profile <sfDir> <query> [query...] */
 object Profile {
   def main(args: Array[String]): Unit = {
-    // f-interpolator formats via the default locale; pin ROOT so the
-    // emitted JSON always uses dot decimals
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.head
     val names = args.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("GRAFT_AQE", "true"))
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, "graft-profile",
+      aqe = sys.env.getOrElse("GRAFT_AQE", "true").toBoolean)
     if (graft.runtime.Trace.enabled) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(

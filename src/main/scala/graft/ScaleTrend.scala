@@ -30,23 +30,12 @@ import graft.textops.Dedup
   */
 object ScaleTrend {
   def main(args: Array[String]): Unit = {
-    // f-interpolator formats via the default locale; pin ROOT so the
-    // emitted JSON always uses dot decimals
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_TREND_MULT", "10").toInt
     // mult = 1 would make the exponent log(t2/t1)/log(1) = NaN/Infinity —
     // which f"%.2f" renders as bare NaN, i.e. invalid JSON downstream
     require(mult >= 2, s"SPARK_GRAFT_TREND_MULT must be >= 2, got $mult")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, "graft-scaletrend")
     val p = 2 * cpus
 
     // (workload, size, result rows, seconds). The BASE point of each
@@ -103,13 +92,17 @@ object ScaleTrend {
         GraphGen.logNormalEdges(spark, v, mu = 1.5, sigma = 1.0, numPartitions = p)))
     }
 
-    // directed power-law with real cycles; vertices must be a power of two
+    // directed power-law with real cycles; R-MAT needs a power-of-two
+    // vertex count, so the SCC point scales BOTH edges and vertices by
+    // the largest power of two <= mult — a mixed 10x-edges / 8x-vertices
+    // input would fit an exponent over non-uniform scaling (SCC cost
+    // depends on both |V| and |E|) and understate super-linearity in |V|
+    val sccMult = java.lang.Long.highestOneBit(mult.toLong)
     val sccE = sys.env.getOrElse("SPARK_GRAFT_TREND_SCC_EDGES", "250000").toLong
-    for ((e, v) <- Seq((sccE, 32768L), (sccE * mult, 32768L * mult.toLong))) {
-      val v2 = java.lang.Long.highestOneBit(v) // round down to power of two
+    for ((e, v) <- Seq((sccE, 32768L), (sccE * sccMult, 32768L * sccMult))) {
       measure("scc", e, runs = if (e == sccE) 2 else 1) {
         drain(StronglyConnectedComponents.run(
-          GraphGen.rmatEdges(spark, v2, e, numPartitions = p),
+          GraphGen.rmatEdges(spark, v, e, numPartitions = p),
           StronglyConnectedComponents.Config(numPartitions = p)))
       }
     }

@@ -19,24 +19,13 @@ import graft.graph.{GraphGen, PreparedGraph}
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
-    // f-interpolator formats via the default locale; pin ROOT so the
-    // emitted JSON always uses dot decimals
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nVerts = sys.env.getOrElse("SPARK_SCALE_VERTS", "1000000").toLong
     val iters = 5
     val levels = sys.env.getOrElse("SPARK_SCALE_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
 
     val results = levels.map { cpus =>
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(s"graft-scaling-$cpus")
-        .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, s"graft-scaling-$cpus")
       val t0 = System.nanoTime()
       val g = PreparedGraph(
         GraphGen.logNormalEdges(spark, nVerts, numPartitions = 2 * cpus),

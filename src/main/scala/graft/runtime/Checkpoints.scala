@@ -61,12 +61,21 @@ object Checkpoints {
   def fingerprintRef(cfg: CheckpointConfig, algo: String): String =
     s"${cfg.dir}/${cfg.runId}/$algo/_config"
 
-  /** Record the run's numeric-config fingerprint once (first run against
-    * this checkpoint dir). Together with [[verifyFingerprint]] it closes
-    * the silent-wrong-results resume class: snapshots are keyed only by
-    * dir/runId/algo, so without the fingerprint a resume under CHANGED
-    * numerics (resetProb, tol, …) would continue old-parameter state
-    * under new parameters and match neither configuration. */
+  /** Verify-or-record the run's numeric-config fingerprint. Together with
+    * [[verifyFingerprint]] it closes the silent-wrong-results resume
+    * class: snapshots are keyed only by dir/runId/algo, so without the
+    * fingerprint a resume under CHANGED numerics (resetProb, tol, …)
+    * would continue old-parameter state under new parameters and match
+    * neither configuration.
+    *
+    * A FRESH run that finds a committed fingerprint with a DIFFERENT
+    * config fails loudly instead of recording: it would overwrite only
+    * the snapshots its own cadence reaches, leaving the old config's
+    * higher-superstep snapshots in place for a later resume to adopt —
+    * mixed-parameterization state no fingerprint could then detect.
+    * A matching fingerprint is fine (same config ⇒ deterministic
+    * supersteps ⇒ any stale snapshot is bit-identical to what this run
+    * would write there). */
   def recordFingerprint(spark: SparkSession, cfg: CheckpointConfig,
       algo: String, fp: String): Unit = {
     val io = TableIO.forSession(spark)
@@ -78,6 +87,15 @@ object Checkpoints {
     if (!io.committed(spark, ref)) {
       import spark.implicits._
       io.write(Seq(fp).toDF("fingerprint"), ref)
+    } else {
+      val stored = io.read(spark, ref).select("fingerprint").first().getString(0)
+      require(stored == fp,
+        s"refusing to run $algo against ${cfg.dir}/${cfg.runId}: the dir " +
+          s"already holds checkpoints written under config [$stored], the " +
+          s"current config is [$fp] — a fresh run would overwrite only the " +
+          "snapshots it reaches and leave the rest as mixed state; delete " +
+          "the checkpoint dir, use a new runId, or restore the original " +
+          "config")
     }
   }
 
@@ -263,10 +281,18 @@ object IterationHygiene {
     * environment whose materializations never surface metrics at all
     * would otherwise pay the full 10 s EVERY superstep (~33 min over a
     * 200-superstep run), so after 3 consecutive timeouts the wait drops
-    * to 1 s until an observation resolves again. */
+    * to 1 s — and every 10th degraded await PROBES with the full window
+    * again, since a metric that typically lands in 1–10 s would otherwise
+    * keep timing out inside the short window forever and the documented
+    * "until an observation resolves again" recovery could never fire.
+    * The latch is deliberately process-global (listener-bus latency is an
+    * environment property, not a per-run one) and is a performance
+    * heuristic only — every timeout falls back to the caller's count. */
   def awaitObservedRow(
       obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] = {
-    val maxTries = if (consecutiveTimeouts >= 3) 40 else 400
+    val degraded = consecutiveTimeouts >= 3
+    val probe = degraded && awaitCount.incrementAndGet() % 10 == 0
+    val maxTries = if (degraded && !probe) 40 else 400
     var tries = 0
     while (tries < maxTries) {
       obs.future.value match {
@@ -282,6 +308,7 @@ object IterationHygiene {
   }
 
   @volatile private var consecutiveTimeouts = 0
+  private val awaitCount = new java.util.concurrent.atomic.AtomicLong
 
   /** [[awaitObservedRow]] specialized to a single-long observation. */
   def awaitObservedLong(obs: org.apache.spark.sql.Observation,

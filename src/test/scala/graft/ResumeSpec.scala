@@ -45,6 +45,25 @@ class ResumeSpec extends SparkTestBase {
     ok.unpersist(false)
   }
 
+  test("a FRESH run against a dir recorded under a DIFFERENT config fails " +
+      "loudly: it would overwrite only the snapshots its cadence reaches " +
+      "and leave the old config's tail as mixed state (review r5)") {
+    val edges = edgesDF(randomEdges(17, n = 40, m = 120))
+    val dir = java.nio.file.Files.createTempDirectory("resume_mix").toString
+    val ck = CheckpointConfig(dir, "mix1", every = 2)
+    PageRank.run(edges, PageRank.Config(numIter = 4, checkpoint = Some(ck)))
+      .unpersist(false)
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(edges, PageRank.Config(numIter = 4, resetProb = 0.3,
+        checkpoint = Some(ck)))
+    }
+    assert(e.getMessage.contains("refusing to run"), e.getMessage)
+    // a fresh run under the SAME config stays legal: deterministic
+    // supersteps make any stale snapshot bit-identical to a rewrite
+    PageRank.run(edges, PageRank.Config(numIter = 4, checkpoint = Some(ck)))
+      .unpersist(false)
+  }
+
   test("a torn _config write (killed first run) is repaired, not treated " +
       "as recorded — the drift guard stays armed (review r5)") {
     val dir = java.nio.file.Files.createTempDirectory("resume_torn").toString
