@@ -35,7 +35,13 @@ object DocQueries {
     // runtime.SessionKeys — identityHashCode keys could collide after GC)
     graft.runtime.SessionKeys.purgeStopped(pairsMemo)
     pairsMemo.getOrElseUpdate((graft.runtime.SessionKeys.of(spark), dir),
-      Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5))
+      // the build cost lands in the TRIGGERING query's first-run timing;
+      // the labeled stage makes it attributable in the bench JSON (both
+      // per-query under "stages" and aggregated under "memo_builds") so a
+      // later consumer's near-zero warm timing is never mistaken for the
+      // pipeline's cost (VERDICT r4 what's-wrong #1, r5 review)
+      graft.runtime.Trace.stage("memo_build:ngram_pairs")(
+        Dedup.ngramJaccardPairs(docs(spark, dir), k = 3, threshold = 0.5)))
   }
 
   /** Release the memoized pair frames of `spark` (bench phase boundaries;

@@ -47,14 +47,18 @@ object DriverQueries {
     // collision-free session key (identityHashCode is not unique across a
     // session's lifetime+GC) + eviction of stopped-session entries
     graft.runtime.SessionKeys.purgeStopped(graphMemo)
-    graphMemo.getOrElseUpdate((kind, graft.runtime.SessionKeys.of(spark), dir), {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // release on failed materialization: getOrElseUpdate aborts without
-      // recording the entry, so clearMemo could never reach the pinned cache
-      try df.count()
-      catch { case t: Throwable => df.unpersist(false); throw t }
-      df
-    })
+    graphMemo.getOrElseUpdate((kind, graft.runtime.SessionKeys.of(spark), dir),
+      // labeled stage: the build cost is attributed in the bench JSON
+      // (per-query "stages" + aggregated "memo_builds") instead of hiding
+      // inside whichever query happened to run first
+      graft.runtime.Trace.stage(s"memo_build:$kind") {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // release on failed materialization: getOrElseUpdate aborts without
+        // recording the entry, so clearMemo could never reach the pinned cache
+        try df.count()
+        catch { case t: Throwable => df.unpersist(false); throw t }
+        df
+      })
   }
 
   /** Release the memoized graphs of `spark` (bench phase boundaries). */

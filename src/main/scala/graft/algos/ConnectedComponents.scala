@@ -63,6 +63,12 @@ object ConnectedComponents {
     allVerts.count()
 
     val rotator = new StateRotator(cfg.checkpoint, "cc")
+    // input-identity drift guard: CC has no numeric config, but a resume
+    // against the same dir/runId with DIFFERENT edges would join stale
+    // contracted state into the new graph — bind the input signature
+    // (one cheap aggregate over the already-cached raw frame)
+    cfg.checkpoint.foreach(ck => Checkpoints.guard(spark, ck, "cc",
+      Checkpoints.inputSignature(raw), cfg.resume))
     val resumed =
       if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, "cc"))
       else None

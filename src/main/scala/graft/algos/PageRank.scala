@@ -138,7 +138,7 @@ object PageRank {
       case Some(src) => verts.select(col("id"),
         when(col("id") === src, 1.0).otherwise(0.0).as("rank"))
     }
-    var (startIter, ranks) = resumeOrInit(g.spark, cfg, algo, init)
+    var (startIter, ranks) = resumeOrInit(g, cfg, algo, init)
     val rotator = new StateRotator(cfg.checkpoint, algo)
     // resumed snapshots re-enter the loop through the same materialization
     // as every rotation (bit-identity — see StateRotator.rotate)
@@ -216,7 +216,7 @@ object PageRank {
     // resume mid-iteration: the checkpointed state carries the full
     // (rank, delta, received) superstep state, so continuing from the
     // latest snapshot is bit-identical to never having stopped
-    var (startIter, state) = resumeOrInit(g.spark, cfg, algo, init)
+    var (startIter, state) = resumeOrInit(g, cfg, algo, init)
     val rotator = new StateRotator(cfg.checkpoint, algo)
     if (startIter > 0) state = rotator.adopt(state)
     var i = startIter
@@ -333,24 +333,26 @@ object PageRank {
     out
   }
 
-  /** The numeric parameters a resumed run must share with the run that
-    * wrote the checkpoints (Checkpoints.verifyFingerprint). numIter is
-    * deliberately EXCLUDED — extending a finished 10-iteration run to 20
-    * via resume is the documented use — as are normalize (post-processing
-    * only) and numPartitions/checkpoint (layout, not numerics). */
-  private def fingerprint(cfg: Config): String =
+  /** The parameters a resumed run must share with the run that wrote the
+    * checkpoints (Checkpoints.guard): the numeric config AND the input
+    * graph's identity (Checkpoints.inputSignature — same dir/runId with
+    * different edge data must fail loudly, not adopt stale ranks). numIter
+    * is deliberately EXCLUDED — extending a finished 10-iteration run to
+    * 20 via resume is the documented use — as are normalize
+    * (post-processing only) and numPartitions/checkpoint (layout, not
+    * numerics). The signature job reads the CACHED adjacency (one cheap
+    * scan), and only when checkpointing is enabled. */
+  private def fingerprint(g: PreparedGraph, cfg: Config): String =
     s"reset=${cfg.resetProb},tol=${cfg.tol},dangling=${cfg.danglingRedistribute}," +
-      s"salt=${cfg.saltBuckets},personalized=${cfg.personalized}"
+      s"salt=${cfg.saltBuckets},personalized=${cfg.personalized}," +
+      Checkpoints.inputSignature(g.edges)
 
-  private def resumeOrInit(spark: SparkSession, cfg: Config, algo: String,
+  private def resumeOrInit(g: PreparedGraph, cfg: Config, algo: String,
       init: DataFrame): (Int, DataFrame) = {
-    val resumed =
-      if (cfg.resume) cfg.checkpoint.flatMap { ck =>
-        Checkpoints.verifyFingerprint(spark, ck, algo, fingerprint(cfg))
-        Checkpoints.latest(spark, ck, algo)
-      } else None
-    cfg.checkpoint.foreach(ck =>
-      Checkpoints.recordFingerprint(spark, ck, algo, fingerprint(cfg)))
+    val resumed = cfg.checkpoint.flatMap { ck =>
+      Checkpoints.guard(g.spark, ck, algo, fingerprint(g, cfg), cfg.resume)
+      if (cfg.resume) Checkpoints.latest(g.spark, ck, algo) else None
+    }
     resumed.getOrElse((0, init))
   }
 }

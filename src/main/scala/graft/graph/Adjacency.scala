@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Adjacency {
 
+  /** Self-protection for the PUBLIC entry points, whose plans reference
+    * the caller's edge frame 2–4× AND run an eager cap-decision aggregate
+    * at construction time: an UNCACHED input is materialized ONCE via
+    * eager localCheckpoint so an expensive upstream (generator, join,
+    * extraction) never re-executes per reference. localCheckpoint, not
+    * persist — its blocks live outside the CacheManager and the
+    * ContextCleaner GC-releases them once the caller drops every frame
+    * derived from them, whereas a CacheManager entry recorded here would
+    * leak until session end (no caller holds a handle to unpersist). A
+    * cached input passes through untouched — engine call sites
+    * (PreparedGraph, LPA) pre-persist and pay nothing. */
+  private def materializedOnce(e: DataFrame): DataFrame =
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      e.localCheckpoint(true)
+    else e
+
   /** Build adjacency blocks from an edge table. One shuffle (the groupBy);
     * destination arrays sorted for deterministic output + mergeable scans.
     * Blocks are degree-capped ([[PreparedGraph.cappedBlocks]]): a vertex
@@ -27,13 +43,13 @@ object Adjacency {
     * the true degree band on every chunk). Below the cap — every test/sf
     * corpus — output is identical to the single-row-per-source layout.
     *
-    * EAGER at plan-construction time: the cap decision runs one max-degree
-    * aggregate over `e` (a Spark job), and the returned plan re-reads `e`
-    * once (fast path) or twice (capped path) — persist/cache an expensive
-    * uncached input before calling, as `PreparedGraph`/LPA do (ADVICE r4). */
+    * EAGER at plan-construction time (the cap decision is a Spark job);
+    * an uncached input is materialized once ([[materializedOnce]]) rather
+    * than re-executed per plan reference (ADVICE r4). */
   def fromEdges(e: DataFrame, cap: Int = 0): DataFrame = {
     val c = if (cap > 0) cap else PreparedGraph.blockCap(e.sparkSession)
-    PreparedGraph.cappedBlocks(e, "src", "dst", "degree", "dsts", c, sort = true)
+    PreparedGraph.cappedBlocks(materializedOnce(e), "src", "dst", "degree", "dsts", c,
+      sort = true)
       .select(
         // degree band: 0 for deg 1, log2 band above — from the TRUE degree
         floor(log2(col("degree").cast("double"))).cast("int").as("bucket"),
@@ -99,13 +115,17 @@ object Adjacency {
     * leftZipJoin); arrays are SORTED — deterministic where the reference's
     * ordering is partition-dependent (documented stronger). Aggregation is
     * degree-capped ([[collectCapped]]) so a mega-hub's build never funnels
-    * through one reducer. */
-  def collectNeighborIds(e: DataFrame, dir: EdgeDirection): DataFrame =
+    * through one reducer. An uncached edge input is materialized once
+    * ([[materializedOnce]]) — the plan reads it for the vertex universe,
+    * the incident pairs, and the cap decision. */
+  def collectNeighborIds(e0: DataFrame, dir: EdgeDirection): DataFrame = {
+    val e = materializedOnce(e0)
     EdgeOps.vertices(e)
       .join(collectCapped(incident(e, dir), "nbr", "neighbors"),
         Seq("id"), "left")
       .select(col("id"),
         coalesce(col("neighbors"), array().cast("array<bigint>")).as("neighbors"))
+  }
 
   /** Reference `GraphOps.collectNeighbors(direction)`: neighbor (id, attr)
     * structs per vertex — the id array join'd against a vertex-attr frame
@@ -116,8 +136,9 @@ object Adjacency {
     * `verts`: a neighbor absent from the attr frame is dropped from the
     * collected arrays (the inner attr join) — pass the full vertex
     * universe, as the reference's own graph-attr call sites do. */
-  def collectNeighbors(e: DataFrame, verts: DataFrame,
+  def collectNeighbors(e0: DataFrame, verts: DataFrame,
       dir: EdgeDirection): DataFrame = {
+    val e = materializedOnce(e0)
     val attrs = verts.columns.filter(_ != "id").toSeq
     // internal join key under a reserved name + frame-qualified references:
     // an attr frame legally carrying a column named "nbr" must not make
@@ -138,7 +159,8 @@ object Adjacency {
   /** Reference `GraphOps.collectEdges(direction)`: incident (src, dst)
     * edge structs per vertex (an Either edge appears under both
     * endpoints; parallel edges preserved). */
-  def collectEdges(e: DataFrame, dir: EdgeDirection): DataFrame = {
+  def collectEdges(e0: DataFrame, dir: EdgeDirection): DataFrame = {
+    val e = materializedOnce(e0)
     val tagged = dir match {
       case EdgeDirection.Out => e.select(col("src").as("id"), col("src"), col("dst"))
       case EdgeDirection.In => e.select(col("dst").as("id"), col("src"), col("dst"))

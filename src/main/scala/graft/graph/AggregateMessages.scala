@@ -302,6 +302,13 @@ object Pregel {
     val spark = g.spark
     val rotator = new StateRotator(cfg.checkpoint, cfg.algo)
     val p = if (cfg.numPartitions > 0) cfg.numPartitions else g.numPartitions
+    // input-identity drift guard: the user's vprog/merge closures cannot
+    // be fingerprinted, but the input GRAPH can — a resume against the
+    // same dir/runId with different edges fails loudly instead of mixing
+    // stale state into a new graph (one cheap aggregate over the cached
+    // adjacency, only when checkpointing)
+    cfg.checkpoint.foreach(ck => Checkpoints.guard(spark, ck, cfg.algo,
+      Checkpoints.inputSignature(g.edges), cfg.resume))
     val resumed =
       if (cfg.resume) cfg.checkpoint.flatMap(Checkpoints.latest(spark, _, cfg.algo))
       else scala.None

@@ -93,9 +93,11 @@ object PreparedGraph {
     *
     * EAGER: the cap decision is a driver action at construction time, and
     * the returned plan references `e` once (fast path) or twice (capped) —
-    * callers with an expensive uncached input must persist it first (both
-    * engine call sites, PreparedGraph.apply and LPA, do; public
-    * `Adjacency.fromEdges` documents the same contract — ADVICE r4). */
+    * an expensive input must be cached (or cheaply re-derivable from a
+    * cache, like the reverse-adjacency explode) before calling. Engine
+    * call sites (PreparedGraph.apply, LPA) pre-persist; the PUBLIC
+    * entry points guard themselves via [[Adjacency.materializedOnce]]
+    * (ADVICE r4, re-raised r5 review). */
   private[graft] def cappedBlocks(e: DataFrame, key: String, nbr: String,
       degName: String, listName: String, cap: Int,
       sort: Boolean = false): DataFrame = {

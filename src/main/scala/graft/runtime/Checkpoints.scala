@@ -61,6 +61,43 @@ object Checkpoints {
   def fingerprintRef(cfg: CheckpointConfig, algo: String): String =
     s"${cfg.dir}/${cfg.runId}/$algo/_config"
 
+  /** Order-invariant multiset signature of an edge frame, for binding
+    * INPUT identity into the resume fingerprint: snapshots are keyed only
+    * by dir/runId/algo, so without this a resume (or a fresh run, then a
+    * resume) against the same directory but DIFFERENT edge data would
+    * silently adopt state computed from the old edges. Config drift was
+    * already guarded ([[recordFingerprint]]); input drift is the same
+    * silent-wrong-results class.
+    *
+    * One cheap aggregate job — count + XOR + bounded SUM of per-edge
+    * hashes — paid only when checkpointing is enabled, over a frame every
+    * call site already has cached. Count+XOR alone cancels on swapped
+    * duplicate PAIRS ({a,a,b,b} vs {c,c,d,d}); the prime-bounded sum
+    * (kept < 2³⁰ per row, summed as decimal so ANSI overflow can't fire
+    * at any |E|) breaks that class. Not a cryptographic integrity check —
+    * a drift guard. */
+  def inputSignature(edges: DataFrame): String = {
+    val h = xxhash64(col("src"), col("dst"))
+    val zero = lit(0L).cast("decimal(38,0)")
+    val r = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(h), lit(0L)).as("x"),
+      coalesce(sum(pmod(h, lit(1073741789L)).cast("decimal(38,0)")), zero).as("s"))
+      .first()
+    s"edges=${r.getLong(0)},xor=${r.getLong(1)},sum=${r.getDecimal(2)}"
+  }
+
+  /** The full drift guard every checkpointing algorithm runs before
+    * touching snapshots: on resume, verify the stored fingerprint matches;
+    * always, record-or-verify it (a fresh run against a dir committed
+    * under a different fingerprint fails loudly — see
+    * [[recordFingerprint]]'s mixed-state rationale). */
+  def guard(spark: SparkSession, cfg: CheckpointConfig, algo: String,
+      fp: String, resume: Boolean): Unit = {
+    if (resume) verifyFingerprint(spark, cfg, algo, fp)
+    recordFingerprint(spark, cfg, algo, fp)
+  }
+
   /** Verify-or-record the run's numeric-config fingerprint. Together with
     * [[verifyFingerprint]] it closes the silent-wrong-results resume
     * class: snapshots are keyed only by dir/runId/algo, so without the

@@ -64,6 +64,41 @@ class ResumeSpec extends SparkTestBase {
       .unpersist(false)
   }
 
+  test("resume against the same dir/runId with DIFFERENT edge data fails " +
+      "loudly: the fingerprint binds input identity, not just numerics " +
+      "(review r5)") {
+    val edgesA = edgesDF(randomEdges(19, n = 60, m = 200))
+    val edgesB = edgesDF(randomEdges(23, n = 60, m = 200)) // different graph
+    val dir = java.nio.file.Files.createTempDirectory("resume_input").toString
+    val ck = CheckpointConfig(dir, "in1", every = 3)
+    PageRank.run(edgesA, PageRank.Config(numIter = 6, checkpoint = Some(ck)))
+      .unpersist(false)
+    // resuming with graph B would adopt ranks computed from graph A —
+    // results matching NEITHER graph; must refuse, not continue
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(edgesB, PageRank.Config(numIter = 12,
+        checkpoint = Some(ck), resume = true))
+    }
+    assert(e.getMessage.contains("refusing to resume"), e.getMessage)
+    // CC has no numeric config at all — input identity is its ONLY
+    // fingerprint, and the same drift must fail there too
+    val ckCC = CheckpointConfig(dir, "incc", every = 1)
+    ConnectedComponents.run(edgesA,
+      ConnectedComponents.Config(checkpoint = Some(ckCC))).unpersist(false)
+    val e2 = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(edgesB,
+        ConnectedComponents.Config(checkpoint = Some(ckCC), resume = true))
+    }
+    assert(e2.getMessage.contains("refusing to resume"), e2.getMessage)
+    // the SAME graph resumes fine under both (edge order must not matter:
+    // the signature is multiset-invariant)
+    PageRank.run(edgesA.orderBy(rand(5)), PageRank.Config(numIter = 12,
+      checkpoint = Some(ck), resume = true)).unpersist(false)
+    ConnectedComponents.run(edgesA.orderBy(rand(7)),
+      ConnectedComponents.Config(checkpoint = Some(ckCC), resume = true))
+      .unpersist(false)
+  }
+
   test("a torn _config write (killed first run) is repaired, not treated " +
       "as recorded — the drift guard stays armed (review r5)") {
     val dir = java.nio.file.Files.createTempDirectory("resume_torn").toString
