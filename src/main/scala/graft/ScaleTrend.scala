@@ -38,12 +38,33 @@ object ScaleTrend {
     val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, "graft-scaletrend")
     val p = 2 * cpus
 
-    // (workload, size, result rows, seconds). The BASE point of each
-    // workload runs TWICE and keeps the min: the first run of a code path
-    // in a fresh JVM pays JIT + codegen warmup that would otherwise
-    // inflate the base and understate the exponent (measured: a warmup-
-    // contaminated pagerank base made 10x look FREE, exponent -0.02).
+    // (workload, size, result rows, seconds). EVERY point runs TWICE and
+    // keeps the min (raws disclosed in the [trend] log line): the first
+    // run of a code path in a fresh JVM pays JIT + codegen warmup that
+    // inflates the base and understates the exponent (measured: a warmup-
+    // contaminated pagerank base made 10x look FREE, exponent -0.02), and
+    // a single-run BIG point is one host-contention burst away from a
+    // phantom exponent in the other direction (measured: the same binary's
+    // 300k pagerank point read 46.5 s during a contended capture and
+    // 19.1 s in isolation minutes later — min-of-2 bounds that exposure).
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+
+    // Render the capture-so-far as one JSON line. Workloads with a single
+    // completed point get exponent=null (partial — big point not yet run).
+    def renderJson(): String = {
+      val byName = points.groupBy(_._1)
+      val entries = points.map(_._1).distinct.map { name =>
+        val ps = byName(name).sortBy(_._2)
+        val (_, s1, r1, t1) = ps.head
+        val (_, s2, r2, t2) = ps.last
+        val exp =
+          if (ps.size < 2) "null"
+          else f"${math.log(t2 / t1) / math.log(s2.toDouble / s1)}%.2f"
+        f""""$name":{"base_size":$s1,"base_rows":$r1,"base_sec":$t1%.2f,"big_size":$s2,"big_rows":$r2,"big_sec":$t2%.2f,"exponent":$exp}"""
+      }
+      s"""{"metric":"scale_trend","mult":$mult,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
+    }
+
     def measure(name: String, size: Long, runs: Int = 1)(run: => Long): Unit = {
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -58,6 +79,13 @@ object ScaleTrend {
       points += ((name, size, rows, dt))
       System.err.println(f"[trend] $name size=$size rows=$rows sec=$dt%.1f " +
         s"raw=${timed.map(t => f"${t._2}%.1f").mkString("/")}")
+      // checkpoint the capture after EVERY point: a ~45-min run must not
+      // lose all completed workloads to one crash in the final (and
+      // deliberately worst-scaling) disclosure point — measured: two full
+      // captures died in dedup_pairs_exact_baseline@50k with an 8g heap
+      // and left nothing on disk
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("scale_trend.json"), renderJson() + "\n")
     }
 
     def drain(df: org.apache.spark.sql.DataFrame): Long = {
@@ -65,20 +93,20 @@ object ScaleTrend {
     }
 
     val baseV = sys.env.getOrElse("SPARK_GRAFT_TREND_VERTS", "30000").toLong
-    for (v <- Seq(baseV, baseV * mult)) measure("pagerank", v, runs = if (v == baseV) 2 else 1) {
+    for (v <- Seq(baseV, baseV * mult)) measure("pagerank", v, runs = 2) {
       val g = PreparedGraph(GraphGen.logNormalEdges(spark, v, numPartitions = p), p)
       val n = drain(PageRank.runPrepared(g, PageRank.Config(numIter = 5)))
       g.unpersist(); n
     }
 
     val ccV = sys.env.getOrElse("SPARK_GRAFT_TREND_CC_VERTS", "20000").toLong
-    for (v <- Seq(ccV, ccV * mult)) measure("cc", v, runs = if (v == ccV) 2 else 1) {
+    for (v <- Seq(ccV, ccV * mult)) measure("cc", v, runs = 2) {
       drain(ConnectedComponents.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         ConnectedComponents.Config(numPartitions = p)))
     }
 
-    for (v <- Seq(baseV, baseV * mult)) measure("lpa", v, runs = if (v == baseV) 2 else 1) {
+    for (v <- Seq(baseV, baseV * mult)) measure("lpa", v, runs = 2) {
       drain(LabelPropagation.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         LabelPropagation.Config(maxSteps = 2, numPartitions = p)))
@@ -87,7 +115,7 @@ object ScaleTrend {
     // sparser graph (mu=1.5): triangle work grows with per-edge shared
     // neighborhoods, the realistic regime for the degree-ordered plan
     val triV = sys.env.getOrElse("SPARK_GRAFT_TREND_TRI_VERTS", "100000").toLong
-    for (v <- Seq(triV, triV * mult)) measure("triangles", v, runs = if (v == triV) 2 else 1) {
+    for (v <- Seq(triV, triV * mult)) measure("triangles", v, runs = 2) {
       drain(TriangleCount.run(
         GraphGen.logNormalEdges(spark, v, mu = 1.5, sigma = 1.0, numPartitions = p)))
     }
@@ -100,7 +128,7 @@ object ScaleTrend {
     val sccMult = java.lang.Long.highestOneBit(mult.toLong)
     val sccE = sys.env.getOrElse("SPARK_GRAFT_TREND_SCC_EDGES", "250000").toLong
     for ((e, v) <- Seq((sccE, 32768L), (sccE * sccMult, 32768L * sccMult))) {
-      measure("scc", e, runs = if (e == sccE) 2 else 1) {
+      measure("scc", e, runs = 2) {
         drain(StronglyConnectedComponents.run(
           GraphGen.rmatEdges(spark, v, e, numPartitions = p),
           StronglyConnectedComponents.Config(numPartitions = p)))
@@ -110,7 +138,7 @@ object ScaleTrend {
     // dedup SCALE path: MinHash-LSH pairs → engine CC clusters, over a
     // generated corpus with planted 1-in-97 exact duplicates
     val docsN = sys.env.getOrElse("SPARK_GRAFT_TREND_DOCS", "20000").toLong
-    for (nd <- Seq(docsN, docsN * mult)) measure("dedup_clusters_minhash", nd, runs = if (nd == docsN) 2 else 1) {
+    for (nd <- Seq(docsN, docsN * mult)) measure("dedup_clusters_minhash", nd, runs = 2) {
       val base = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
@@ -131,7 +159,7 @@ object ScaleTrend {
     // cap bounds the constant, not the asymptotic); run at the SAME sizes
     // so the exponent is measured, not asserted
     val exN = sys.env.getOrElse("SPARK_GRAFT_TREND_EXACT_DOCS", "5000").toLong
-    for (nd <- Seq(exN, exN * mult)) measure("dedup_pairs_exact_baseline", nd, runs = if (nd == exN) 2 else 1) {
+    for (nd <- Seq(exN, exN * mult)) measure("dedup_pairs_exact_baseline", nd, runs = 2) {
       val corpus = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
@@ -141,16 +169,7 @@ object ScaleTrend {
       n
     }
 
-    val byName = points.groupBy(_._1)
-    val entries = points.map(_._1).distinct.map { name =>
-      val ps = byName(name).sortBy(_._2)
-      val (_, s1, r1, t1) = ps.head
-      val (_, s2, r2, t2) = ps.last
-      val exp = math.log(t2 / t1) / math.log(s2.toDouble / s1)
-      f""""$name":{"base_size":$s1,"base_rows":$r1,"base_sec":$t1%.2f,"big_size":$s2,"big_rows":$r2,"big_sec":$t2%.2f,"exponent":$exp%.2f}"""
-    }
-    val json =
-      s"""{"metric":"scale_trend","mult":$mult,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
+    val json = renderJson()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scale_trend.json"), json + "\n")
     println(json)
