@@ -11,15 +11,21 @@ import graft.textops.Dedup
 
 /** Scale-TREND evidence (VERDICT r4 next #5): the sf0.1 correctness gate
   * cannot see a quadratic candidate blowup — a measured ~linear wall-time
-  * trend across a 10× input-size step is the cheapest 100×-credibility
-  * evidence this sandbox allows. Runs each headline operator at a base
-  * size and `SPARK_GRAFT_TREND_MULT`× (default 10×) the base, on
-  * GENERATED input (GraphGen/PageGen — no driver testdata), and reports
-  * per-workload wall times plus the fitted scaling exponent
-  * `log(t_big/t_base) / log(mult)`; ≈1.0 = linear in input size, 2.0 =
-  * quadratic. Timing covers generate + prepare + run (all phases must be
-  * ~linear for the trend to hold — hiding prep would hide a quadratic
-  * build). Prints one JSON line; results recorded in BENCH.md.
+  * trend across a 10× input-size decade is the cheapest 100×-credibility
+  * evidence this sandbox allows. Runs each headline operator at THREE
+  * sizes — base, ~√mult× and `SPARK_GRAFT_TREND_MULT`× (default 10×, so
+  * 1×/3×/10×) — on GENERATED input (GraphGen/PageGen — no driver
+  * testdata), and FITS the scaling exponent by least squares over
+  * (ln size, ln seconds); ≈1.0 = linear in input size, 2.0 = quadratic.
+  * Three points instead of two because a two-point "fit" hands the whole
+  * exponent to whichever endpoint the box noised (measured: the same
+  * binary's lpa exponent read 0.55 and 0.12 in two-point captures hours
+  * apart — each a ratio of exactly two numbers); with a mid point the
+  * fit averages over three size ratios and the reported r2 exposes how
+  * well a single power law explains the measurements. Timing covers
+  * generate + prepare + run (all phases must be ~linear for the trend to
+  * hold — hiding prep would hide a quadratic build). Prints one JSON
+  * line; results recorded in BENCH.md.
   *
   * The dedup workload runs the SCALE path (MinHash-LSH banded pairs → the
   * engine's CC clusters) over a corpus with planted 1-in-97 duplicates;
@@ -49,20 +55,37 @@ object ScaleTrend {
     // 19.1 s in isolation minutes later — min-of-2 bounds that exposure).
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
 
-    // Render the capture-so-far as one JSON line. Workloads with a single
-    // completed point get exponent=null (partial — big point not yet run).
+    // geometric mid factor: 1x / midF x / mult x. For mult=10 -> 3. If the
+    // rounded mid collides with an endpoint (mult <= 3) the workload
+    // degrades to two points and the fit is the plain two-point ratio.
+    val midF = math.max(2L, math.round(math.sqrt(mult.toDouble)))
+    def sizes(base: Long): Seq[Long] =
+      Seq(base, base * midF, base * mult).distinct.filter(_ <= base * mult)
+
+    // Render the capture-so-far as one JSON line: every completed
+    // (size, rows, sec) point per workload, plus the least-squares slope
+    // of ln(sec) on ln(size) and its r2. Workloads with <2 distinct-size
+    // points (capture still in flight) get exponent=null.
     def renderJson(): String = {
       val byName = points.groupBy(_._1)
       val entries = points.map(_._1).distinct.map { name =>
         val ps = byName(name).sortBy(_._2)
-        val (_, s1, r1, t1) = ps.head
-        val (_, s2, r2, t2) = ps.last
-        val exp =
-          if (ps.size < 2) "null"
-          else f"${math.log(t2 / t1) / math.log(s2.toDouble / s1)}%.2f"
-        f""""$name":{"base_size":$s1,"base_rows":$r1,"base_sec":$t1%.2f,"big_size":$s2,"big_rows":$r2,"big_sec":$t2%.2f,"exponent":$exp}"""
+        val pjson = ps.map { case (_, s, r, t) =>
+          f"""{"size":$s,"rows":$r,"sec":$t%.2f}""" }.mkString(",")
+        val xs = ps.map(q => math.log(q._2.toDouble))
+        val ys = ps.map(q => math.log(q._4))
+        val n = ps.size
+        val xm = xs.sum / n; val ym = ys.sum / n
+        val sxx = xs.map(x => (x - xm) * (x - xm)).sum
+        val sxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+        val syy = ys.map(y => (y - ym) * (y - ym)).sum
+        val (exp, r2) =
+          if (n < 2 || sxx == 0.0) ("null", "null")
+          else (f"${sxy / sxx}%.2f",
+            if (syy == 0.0) "1.00" else f"${sxy * sxy / (sxx * syy)}%.2f")
+        s""""$name":{"points":[$pjson],"exponent":$exp,"r2":$r2}"""
       }
-      s"""{"metric":"scale_trend","mult":$mult,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
+      s"""{"metric":"scale_trend","mult":$mult,"mid_factor":$midF,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
     }
 
     def measure(name: String, size: Long, runs: Int = 1)(run: => Long): Unit = {
@@ -93,20 +116,20 @@ object ScaleTrend {
     }
 
     val baseV = sys.env.getOrElse("SPARK_GRAFT_TREND_VERTS", "30000").toLong
-    for (v <- Seq(baseV, baseV * mult)) measure("pagerank", v, runs = 2) {
+    for (v <- sizes(baseV)) measure("pagerank", v, runs = 2) {
       val g = PreparedGraph(GraphGen.logNormalEdges(spark, v, numPartitions = p), p)
       val n = drain(PageRank.runPrepared(g, PageRank.Config(numIter = 5)))
       g.unpersist(); n
     }
 
     val ccV = sys.env.getOrElse("SPARK_GRAFT_TREND_CC_VERTS", "20000").toLong
-    for (v <- Seq(ccV, ccV * mult)) measure("cc", v, runs = 2) {
+    for (v <- sizes(ccV)) measure("cc", v, runs = 2) {
       drain(ConnectedComponents.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         ConnectedComponents.Config(numPartitions = p)))
     }
 
-    for (v <- Seq(baseV, baseV * mult)) measure("lpa", v, runs = 2) {
+    for (v <- sizes(baseV)) measure("lpa", v, runs = 2) {
       drain(LabelPropagation.run(
         GraphGen.logNormalEdges(spark, v, numPartitions = p),
         LabelPropagation.Config(maxSteps = 2, numPartitions = p)))
@@ -115,7 +138,7 @@ object ScaleTrend {
     // sparser graph (mu=1.5): triangle work grows with per-edge shared
     // neighborhoods, the realistic regime for the degree-ordered plan
     val triV = sys.env.getOrElse("SPARK_GRAFT_TREND_TRI_VERTS", "100000").toLong
-    for (v <- Seq(triV, triV * mult)) measure("triangles", v, runs = 2) {
+    for (v <- sizes(triV)) measure("triangles", v, runs = 2) {
       drain(TriangleCount.run(
         GraphGen.logNormalEdges(spark, v, mu = 1.5, sigma = 1.0, numPartitions = p)))
     }
@@ -126,8 +149,12 @@ object ScaleTrend {
     // input would fit an exponent over non-uniform scaling (SCC cost
     // depends on both |V| and |E|) and understate super-linearity in |V|
     val sccMult = java.lang.Long.highestOneBit(mult.toLong)
+    // power-of-two mid for the three-point fit: 1x / 2x / 8x for mult=10
+    val sccMid = java.lang.Long.highestOneBit(
+      math.round(math.sqrt(sccMult.toDouble)))
+    val sccFactors = Seq(1L, sccMid, sccMult).distinct
     val sccE = sys.env.getOrElse("SPARK_GRAFT_TREND_SCC_EDGES", "250000").toLong
-    for ((e, v) <- Seq((sccE, 32768L), (sccE * sccMult, 32768L * sccMult))) {
+    for ((e, v) <- sccFactors.map(f => (sccE * f, 32768L * f))) {
       measure("scc", e, runs = 2) {
         drain(StronglyConnectedComponents.run(
           GraphGen.rmatEdges(spark, v, e, numPartitions = p),
@@ -138,7 +165,7 @@ object ScaleTrend {
     // dedup SCALE path: MinHash-LSH pairs → engine CC clusters, over a
     // generated corpus with planted 1-in-97 exact duplicates
     val docsN = sys.env.getOrElse("SPARK_GRAFT_TREND_DOCS", "20000").toLong
-    for (nd <- Seq(docsN, docsN * mult)) measure("dedup_clusters_minhash", nd, runs = 2) {
+    for (nd <- sizes(docsN)) measure("dedup_clusters_minhash", nd, runs = 2) {
       val base = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
@@ -159,7 +186,7 @@ object ScaleTrend {
     // cap bounds the constant, not the asymptotic); run at the SAME sizes
     // so the exponent is measured, not asserted
     val exN = sys.env.getOrElse("SPARK_GRAFT_TREND_EXACT_DOCS", "5000").toLong
-    for (nd <- Seq(exN, exN * mult)) measure("dedup_pairs_exact_baseline", nd, runs = 2) {
+    for (nd <- sizes(exN)) measure("dedup_pairs_exact_baseline", nd, runs = 2) {
       val corpus = PageGen.pages(spark,
           PageGen.Config(numPages = nd, numPartitions = p))
         .select(col("page_id").as("doc_id"), col("text"))
