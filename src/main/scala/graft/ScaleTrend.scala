@@ -72,17 +72,11 @@ object ScaleTrend {
         val ps = byName(name).sortBy(_._2)
         val pjson = ps.map { case (_, s, r, t) =>
           f"""{"size":$s,"rows":$r,"sec":$t%.2f}""" }.mkString(",")
-        val xs = ps.map(q => math.log(q._2.toDouble))
-        val ys = ps.map(q => math.log(q._4))
-        val n = ps.size
-        val xm = xs.sum / n; val ym = ys.sum / n
-        val sxx = xs.map(x => (x - xm) * (x - xm)).sum
-        val sxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
-        val syy = ys.map(y => (y - ym) * (y - ym)).sum
         val (exp, r2) =
-          if (n < 2 || sxx == 0.0) ("null", "null")
-          else (f"${sxy / sxx}%.2f",
-            if (syy == 0.0) "1.00" else f"${sxy * sxy / (sxx * syy)}%.2f")
+          graft.runtime.PowerLawFit.fit(ps.map(q => (q._2.toDouble, q._4)).toSeq) match {
+            case Some(f) => (f"${f.exponent}%.2f", f"${f.r2}%.2f")
+            case None    => ("null", "null")
+          }
         s""""$name":{"points":[$pjson],"exponent":$exp,"r2":$r2}"""
       }
       s"""{"metric":"scale_trend","mult":$mult,"mid_factor":$midF,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
