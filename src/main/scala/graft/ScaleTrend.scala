@@ -82,7 +82,19 @@ object ScaleTrend {
       s"""{"metric":"scale_trend","mult":$mult,"mid_factor":$midF,"cpus":$cpus,"workloads":{${entries.mkString(",")}}}"""
     }
 
+    // SPARK_GRAFT_TREND_ONLY: comma-separated workload names — measure
+    // only those (for fresh-JVM-per-workload captures via
+    // bin/trend-fresh-jvm.sh: an hour-old JVM measurably inflates late
+    // workloads — the r5 aged-JVM capture read scc's base 1.8x slower
+    // than the same binary in a fresh JVM). Unset = measure everything.
+    // SPARK_GRAFT_TREND_OUT: output JSON path (default scale_trend.json).
+    val only = sys.env.get("SPARK_GRAFT_TREND_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_TREND_OUT", "scale_trend.json")
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
     def measure(name: String, size: Long, runs: Int = 1)(run: => Long): Unit = {
+      if (!want(name)) return
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val rows = run
@@ -102,7 +114,7 @@ object ScaleTrend {
       // captures died in dedup_pairs_exact_baseline@50k with an 8g heap
       // and left nothing on disk
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("scale_trend.json"), renderJson() + "\n")
+        java.nio.file.Paths.get(outPath), renderJson() + "\n")
     }
 
     def drain(df: org.apache.spark.sql.DataFrame): Long = {
@@ -192,7 +204,7 @@ object ScaleTrend {
 
     val json = renderJson()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scale_trend.json"), json + "\n")
+      java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
   }
