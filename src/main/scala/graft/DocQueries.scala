@@ -271,9 +271,16 @@ object DocQueries {
     * q_text_analysis, split out so it gets a real DuckDB oracle (the
     * fingerprint column is xxhash64-based and stays engine-only). */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      TextStats.langId(col("text")).as("lang_pred"),
-      TextStats.qualityScore(col("text")).as("quality"))
+    // tokens projected ONCE and shared: the regex tokenizer is the hot
+    // subtree and every expression occurrence re-evaluates it (langId
+    // alone references it 6×); CollapseProject keeps the multi-referenced
+    // non-cheap alias in its own projection
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextStats.tokensWs(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextStats.langIdOf(col("__toks")).as("lang_pred"),
+        TextStats.qualityScoreOf(col("text"), col("__toks")).as("quality"))
 
   val qTextQualitySql: String =
     """WITH base AS (SELECT doc_id, text,
@@ -404,10 +411,14 @@ object DocQueries {
       | WHERE hamming <= 3""".stripMargin
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      TextStats.langId(col("text")).as("lang_pred"),
-      TextStats.qualityScore(col("text")).as("quality"),
-      TextStats.fingerprint(col("text")).as("fingerprint"))
+    // shared single tokenization + native fingerprint (see qTextQuality)
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextStats.tokensWs(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextStats.langIdOf(col("__toks")).as("lang_pred"),
+        TextStats.qualityScoreOf(col("text"), col("__toks")).as("quality"),
+        TextStats.fingerprintOf(col("__toks")).as("fingerprint"))
 
   /** Full oracle for q_text_analysis: the fingerprint is now a pure
     * character-code polynomial mod a 31-bit prime (TextStats.fingerprint),

@@ -61,11 +61,47 @@ object DriverQueries {
       })
   }
 
+  /** Prepared (cached adjacency + vertex set) forms of the derived graphs —
+    * the documented PreparedGraph usage ("built once, iterated many
+    * times"): PageRank/PPR/ShortestPaths/LPA over the same derived graph
+    * otherwise rebuild the identical adjacency blocks per query AND per
+    * rerun. Build cost is a labeled memo_build stage like every input memo
+    * (bench-JSON-attributable); bounded: a handful of |V|-sized cached
+    * structures per (session, testdata dir). */
+  private val pgMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), graft.graph.PreparedGraph]
+  private val lpaMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.algos.LabelPropagation.Prepared]
+
+  private def preparedGraph(kind: String, spark: SparkSession, dir: String)(
+      edges: => DataFrame): graft.graph.PreparedGraph = {
+    pgMemo.foreach { case (k, g) => if (g.spark.sparkContext.isStopped) pgMemo.remove(k) }
+    pgMemo.getOrElseUpdate((kind, graft.runtime.SessionKeys.of(spark), dir),
+      graft.runtime.Trace.stage(s"memo_build:${kind}_prepared")(
+        graft.graph.PreparedGraph(edges)))
+  }
+
+  private def preparedLpa(spark: SparkSession, dir: String)(
+      edges: => DataFrame): graft.algos.LabelPropagation.Prepared = {
+    lpaMemo.foreach { case (k, p) =>
+      if (p.session.sparkContext.isStopped) lpaMemo.remove(k)
+    }
+    lpaMemo.getOrElseUpdate((graft.runtime.SessionKeys.of(spark), dir),
+      graft.runtime.Trace.stage("memo_build:lpa_prepared")(
+        graft.algos.LabelPropagation.prepare(edges)))
+  }
+
   /** Release the memoized graphs of `spark` (bench phase boundaries). */
   def clearMemo(spark: SparkSession): Unit = {
     val h = graft.runtime.SessionKeys.of(spark)
     graphMemo.keys.filter(_._2 == h).foreach { k =>
       graphMemo.remove(k).foreach(_.unpersist(false))
+    }
+    pgMemo.keys.filter(_._2 == h).foreach { k =>
+      pgMemo.remove(k).foreach(_.unpersist())
+    }
+    lpaMemo.keys.filter(_._1 == h).foreach { k =>
+      lpaMemo.remove(k).foreach(_.unpersist())
     }
   }
 
@@ -168,7 +204,9 @@ object DriverQueries {
   val PrIters = 10
 
   def qPageRank(spark: SparkSession, dir: String): DataFrame =
-    PageRank.run(orderGraph(spark, dir), PageRank.Config(numIter = PrIters))
+    PageRank.runPrepared(
+        preparedGraph("order", spark, dir)(orderGraph(spark, dir)),
+        PageRank.Config(numIter = PrIters))
       .select(col("id"), round(col("rank"), 6).as("rank"))
 
   /** Power iteration unrolled as a CTE chain — independent oracle. */
@@ -198,7 +236,8 @@ object DriverQueries {
   /** k personalized PageRanks at once, flattened to (id, pos, rank) for
     * engine-portable comparison. */
   def qPprPersonalized(spark: SparkSession, dir: String): DataFrame =
-    PageRank.runParallelPersonalized(ringGraph(spark, dir), PprSources,
+    PageRank.runParallelPersonalizedPrepared(
+      preparedGraph("ring", spark, dir)(ringGraph(spark, dir)), PprSources,
       numIter = PprIters)
       .select(col("id"), posexplode(col("ranks")))
       .select(col("id"), col("pos"), round(col("col"), 6).as("rank"))
@@ -289,7 +328,10 @@ object DriverQueries {
        |) WHERE src <> dst""".stripMargin
 
   def qScc(spark: SparkSession, dir: String): DataFrame =
-    graft.algos.StronglyConnectedComponents.run(sccGraph(spark, dir))
+    // the memoized scc graph is simple by construction (src<>dst filter +
+    // distinct in the plan) — skip SCC's initial |E|-shuffle dedup
+    graft.algos.StronglyConnectedComponents.run(sccGraph(spark, dir),
+      graft.algos.StronglyConnectedComponents.Config(inputIsSimple = true))
 
   /** Independent oracle: full recursive transitive closure, then
     * component = min over mutually-reachable partners (and self). */
@@ -311,7 +353,10 @@ object DriverQueries {
   /** Bipartite customer→supplier rating edges (rating derived
     * deterministically from the line number; parallel edges = repeat
     * ratings, kept). */
-  private def ratingEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def ratingEdges(spark: SparkSession, dir: String): DataFrame =
+    memoized("rating", spark, dir)(ratingEdgesPlan(spark, dir))
+
+  private def ratingEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "orders").join(t(dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
@@ -508,7 +553,8 @@ object DriverQueries {
     * to the long-format fast path `ShortestPaths.run` in
     * AggregateMessagesSpec, and measured equal-cost on this workload. */
   def qShortestPaths(spark: SparkSession, dir: String): DataFrame =
-    graft.algos.ShortestPaths.runPregel(ringGraph(spark, dir), SpLandmarks)
+    graft.algos.ShortestPaths.runPregelPrepared(
+      preparedGraph("ring", spark, dir)(ringGraph(spark, dir)), SpLandmarks)
 
   /** BFS min-hops as bounded recursive closure (cap 50 ≫ diameter). */
   val qShortestPathsSql: String =
@@ -528,7 +574,8 @@ object DriverQueries {
   val LpaSteps = 2
 
   def qLabelPropagation(spark: SparkSession, dir: String): DataFrame =
-    LabelPropagation.run(ringGraph(spark, dir),
+    LabelPropagation.runPrepared(
+      preparedLpa(spark, dir)(ringGraph(spark, dir)),
       LabelPropagation.Config(maxSteps = LpaSteps))
 
   /** Synchronous LPA unrolled `LpaSteps` supersteps; argmax count with

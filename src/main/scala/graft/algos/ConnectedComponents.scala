@@ -53,9 +53,11 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     // one pass over the (possibly expensive) input plan: the vertex
     // universe AND round 0 both derive from this cache, instead of each
-    // re-executing the upstream join/extraction
+    // re-executing the upstream join/extraction. An input that is ALREADY
+    // cached is read through its own cache — no second copy.
+    val pre = edges.storageLevel != StorageLevel.NONE
     val raw = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!pre) raw.persist(StorageLevel.MEMORY_AND_DISK)
     val rawRows = raw.count()
     val allVerts = EdgeOps.vertices(raw)
       .coalesce(AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions))
@@ -90,7 +92,7 @@ object ConnectedComponents {
             .distinct().coalesce(p0), 0)
         (df, sig)
     }
-    raw.unpersist(false)
+    if (!pre) raw.unpersist(false)
 
     // fixed point iff the (set-valued) edge set is unchanged between
     // rounds; both sides are distinct sets → compare (count, xor-checksum)

@@ -37,15 +37,27 @@ object LabelPropagation {
       checkpoint: Option[CheckpointConfig] = None,
       resume: Boolean = false)
 
-  /** (id, label) after `cfg.maxSteps` synchronous supersteps.
-    * @note the returned frame is PERSISTED — the caller owns it
-    *       (`unpersist()` when done; see `PageRank.run`'s ownership
-    *       contract, uniform across engine algorithms). */
-  def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** The symmetrized-adjacency structure LPA iterates over — built once,
+    * usable for many runs (the PreparedGraph contract, specialized to
+    * LPA's both-directions message multiset). `unpersist()` when done. */
+  final class Prepared private[LabelPropagation] (
+      private[LabelPropagation] val adj: DataFrame,
+      private[LabelPropagation] val verts: DataFrame,
+      private[LabelPropagation] val p: Int) {
+    def session: org.apache.spark.sql.SparkSession = adj.sparkSession
+    def unpersist(): Unit = { adj.unpersist(false); verts.unpersist(false) }
+  }
+
+  /** Build the cached symmetrized capped adjacency + vertex set once.
+    * An already-cached edge input is read through its cache instead of
+    * being persisted a second time. */
+  def prepare(edges: DataFrame, numPartitions: Int = 0): Prepared = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val pre = edges.storageLevel != StorageLevel.NONE
+    val e = edges.select(col("src"), col("dst"))
+    if (!pre) e.persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = e.count()
-    val P = AdaptivePartitions.forRows(spark, edgeCount, cfg.numPartitions)
+    val P = AdaptivePartitions.forRows(spark, edgeCount, numPartitions)
 
     // ONE symmetrized adjacency (each directed edge contributes both ways —
     // exactly the reference's sendMsg-to-both-endpoints message multiset):
@@ -62,8 +74,27 @@ object LabelPropagation {
     adj.count()
     val verts = EdgeOps.vertices(e).repartition(P, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val numVertices = verts.count()
-    e.unpersist(false)
+    verts.count()
+    if (!pre) e.unpersist(false)
+    new Prepared(adj, verts, P)
+  }
+
+  /** (id, label) after `cfg.maxSteps` synchronous supersteps.
+    * @note the returned frame is PERSISTED — the caller owns it
+    *       (`unpersist()` when done; see `PageRank.run`'s ownership
+    *       contract, uniform across engine algorithms). */
+  def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
+    val prep = prepare(edges, cfg.numPartitions)
+    try runPrepared(prep, cfg)
+    finally prep.unpersist()
+  }
+
+  /** [[run]] over an already-prepared structure (caller owns `prep`). */
+  def runPrepared(prep: Prepared, cfg: Config = Config()): DataFrame = {
+    val spark = prep.adj.sparkSession
+    val adj = prep.adj
+    val verts = prep.verts
+    val P = prep.p
 
     val rotator = new StateRotator(cfg.checkpoint, "lpa")
     val init = verts.select(col("id"), col("id").as("label"))
@@ -108,7 +139,6 @@ object LabelPropagation {
     val out = labels.select(col("id"), col("label")).persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before releasing iteration state
     rotator.close()
-    adj.unpersist(false); verts.unpersist(false)
     out
   }
 }

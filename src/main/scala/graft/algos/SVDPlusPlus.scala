@@ -83,9 +83,11 @@ object SVDPlusPlus {
     require(v1.length == conf.rank && v2.length == conf.rank,
       s"initFactors must have rank ${conf.rank}")
 
+    // an already-cached input is read through its own cache — no 2nd copy
+    val pre = edges.storageLevel != StorageLevel.NONE
     val e = edges.select(col("src"), col("dst"),
         col("rating").cast("double").as("rating"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!pre) e.persist(StorageLevel.MEMORY_AND_DISK)
     val eRows = e.count()
     require(eRows > 0, "SVD++ needs at least one rating edge")
     val p = AdaptivePartitions.forRows(spark, eRows, numPartitions)
@@ -157,13 +159,26 @@ object SVDPlusPlus {
         (t, q) => col("err") * t * g2 - lit(conf.gamma7 * g2) * q)
       val updY = zip_with(col("iq"), col("iy"),
         (q, y) => col("err") * col("un") * q * g2 - lit(conf.gamma7 * g2) * y)
-      val msgs = withErr.select(col("src").as("vid"), updP.as("a1"), updY.as("a2"),
-          ((col("err") - lit(conf.gamma6) * col("ub")) * conf.gamma1).as("b"))
-        .union(withErr.select(col("dst"), updQ, updY,
-          (col("err") - lit(conf.gamma6) * col("ib")) * conf.gamma1))
+      // ONE pass over the joined triplet stream, both endpoint messages
+      // from a single explode — the AggregateMessages single-pass shape:
+      // a union of two selects over `withErr` would re-execute the
+      // edges ⋈ state ⋈ state join subtree once per direction
+      val msgs = withErr.select(explode(array(
+          struct(col("src").as("vid"), updP.as("a1"), updY.as("a2"),
+            ((col("err") - lit(conf.gamma6) * col("ub")) * conf.gamma1).as("b")),
+          struct(col("dst").as("vid"), updQ.as("a1"), updY.as("a2"),
+            ((col("err") - lit(conf.gamma6) * col("ib")) * conf.gamma1).as("b")))).as("m"))
+        .select(col("m.vid").as("vid"), col("m.a1").as("a1"),
+          col("m.a2").as("a2"), col("m.b").as("b"))
+      // bias rides the SAME posexplode stream as an extra slot at pos=rank
+      // (one aggregation pass + ONE state join; a separate
+      // `msgs.groupBy(vid).agg(sum(b))` re-executed the whole message
+      // subtree and cost a second |V|-row join)
       val arrSums = msgs
         .select(col("vid"),
-          posexplode(arrays_zip(col("a1"), col("a2"))).as(Seq("pos", "z")))
+          posexplode(concat(arrays_zip(col("a1"), col("a2")),
+            array(struct(col("b").as("a1"), lit(0.0).as("a2")))))
+            .as(Seq("pos", "z")))
         .select(col("vid"), col("pos"),
           col("z.a1").as("x1"), col("z.a2").as("x2"))
         .groupBy("vid", "pos").agg(sum("x1").as("s1"), sum("x2").as("s2"))
@@ -171,12 +186,11 @@ object SVDPlusPlus {
         .agg(sort_array(collect_list(struct(col("pos"), col("s1"), col("s2"))))
           .as("zs"))
         .select(col("vid"),
-          transform(col("zs"), x => x.getField("s1")).as("d1"),
-          transform(col("zs"), x => x.getField("s2")).as("d2"))
-      val biasSums = msgs.groupBy(col("vid").as("bvid")).agg(sum("b").as("db"))
+          transform(slice(col("zs"), 1, conf.rank), x => x.getField("s1")).as("d1"),
+          transform(slice(col("zs"), 1, conf.rank), x => x.getField("s2")).as("d2"),
+          element_at(col("zs"), conf.rank + 1).getField("s1").as("db"))
       val s2 = state
         .join(arrSums.hint("SHUFFLE_HASH"), state("id") === arrSums("vid"), "left")
-        .join(biasSums.hint("SHUFFLE_HASH"), state("id") === col("bvid"), "left")
         .select(col("id"),
           when(col("d1").isNotNull,
             zip_with(col("factor"), col("d1"), (a, b) => a + b))
@@ -209,7 +223,7 @@ object SVDPlusPlus {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     rotator.close()
-    e.unpersist(false)
+    if (!pre) e.unpersist(false)
     (out, u)
   }
 

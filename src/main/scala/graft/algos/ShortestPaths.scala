@@ -35,8 +35,10 @@ object ShortestPaths {
     *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, landmarks: Seq[Long],
       maxIter: Int = Int.MaxValue): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    // an already-cached input is read through its own cache — no 2nd copy
+    val pre = edges.storageLevel != StorageLevel.NONE
+    val e = edges.select(col("src"), col("dst"))
+    if (!pre) { e.persist(StorageLevel.MEMORY_AND_DISK); e.count() }
     val verts = graft.graph.EdgeOps.vertices(e)
 
     // dist 0: each landmark to itself (restricted to existing vertices);
@@ -88,7 +90,8 @@ object ShortestPaths {
     val out = dists.select(col("id"), col("landmark"), col("distance"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    e.unpersist(false); releaseFrontier()
+    if (!pre) e.unpersist(false)
+    releaseFrontier()
     out
   }
 
@@ -122,9 +125,18 @@ object ShortestPaths {
     */
   def runPregel(edges: DataFrame, landmarks: Seq[Long],
       maxIter: Int = Int.MaxValue): DataFrame = {
-    import graft.graph.{PreparedGraph, Pregel, TripletFields}
-    val g = PreparedGraph(edges)
-    try {
+    val g = graft.graph.PreparedGraph(edges)
+    try runPregelPrepared(g, landmarks, maxIter)
+    finally g.unpersist()
+  }
+
+  /** [[runPregel]] over an already-prepared graph — amortizes the
+    * adjacency/reverse-adjacency build across runs (the PreparedGraph
+    * contract: built once, iterated many times). The caller owns `g`. */
+  def runPregelPrepared(g: graft.graph.PreparedGraph, landmarks: Seq[Long],
+      maxIter: Int = Int.MaxValue): DataFrame = {
+    import graft.graph.{Pregel, TripletFields}
+    {
       val emptyMap = map_from_arrays(
         array().cast("array<bigint>"), array().cast("array<int>"))
       val init = g.vertices.select(col("id"),
@@ -163,6 +175,6 @@ object ShortestPaths {
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
       out
-    } finally g.unpersist()
+    }
   }
 }

@@ -51,7 +51,15 @@ object StronglyConnectedComponents {
       /** Safety cap on outer trim/color/confirm rounds (each round
         * finalizes ≥ 1 SCC chain layer; the cap only trips on adversarial
         * SCC chains longer than this). */
-      maxOuterRounds: Int = 200)
+      maxOuterRounds: Int = 200,
+      /** Performance contract, NOT a correctness one: the caller asserts
+        * the input is already a simple digraph (no self-loops, no
+        * duplicate edges), so the initial dedup pass — a full |E| shuffle
+        * — is skipped. A wrong assertion cannot corrupt labels (self-loops
+        * and parallel edges are absorbed by trim/min-aggregation and leave
+        * every SCC unchanged); it only forfeits the shrink the dedup would
+        * have bought later rounds. */
+      inputIsSimple: Boolean = false)
 
   /** (id, component) for every vertex appearing in `edges`;
     * component = min vertex id of the vertex's SCC.
@@ -60,8 +68,10 @@ object StronglyConnectedComponents {
     *       contract, uniform across engine algorithms). */
   def run(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
+    // an already-cached input is read through its own cache — no 2nd copy
+    val pre = edges.storageLevel != StorageLevel.NONE
     val raw = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!pre) raw.persist(StorageLevel.MEMORY_AND_DISK)
     val rawRows = raw.count()
     val pAll = AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions)
     val allVerts = EdgeOps.vertices(raw).coalesce(pAll)
@@ -77,9 +87,11 @@ object StronglyConnectedComponents {
     def nextStep(): Int = { step += 1; step }
 
     // self-loops never affect SCC membership; parallel edges collapse
-    var (e, eRows) = rotateCounted(rotE,
-      raw.filter(col("src") =!= col("dst")).distinct().coalesce(pAll), nextStep())
-    raw.unpersist(false)
+    val cleaned =
+      if (cfg.inputIsSimple) raw
+      else raw.filter(col("src") =!= col("dst")).distinct()
+    var (e, eRows) = rotateCounted(rotE, cleaned.coalesce(pAll), nextStep())
+    if (!pre) raw.unpersist(false)
 
     // finalized (id, component) — grows by union, rotated so the plan
     // never grows with it; vertices that simply fall out of the edge set
@@ -179,10 +191,15 @@ object StronglyConnectedComponents {
             .coalesce(p))
           var changed = 1L
           while (changed > 0) {
-            val (c1, _) = rotateObservedCount(rot,
-              relax(colors).coalesce(p), nextStep(), col("changed"))
+            // relax + shortcut fused into ONE rotation per doubling round
+            // (same dataflow, identical integer-struct values — half the
+            // materializations of the r3 two-rotation shape). The shortcut
+            // self-join references the relax subtree twice, so leaf stats
+            // multiply once per rotation — bounded permanently by the
+            // PlanStats clamp every rotation applies (the unclamped
+            // BigInteger stall that originally forced the split is gone).
             val (c2, nChanged) = rotateObservedCount(rot,
-              shortcut(c1).coalesce(p), nextStep(), col("changed"))
+              shortcut(relax(colors)).coalesce(p), nextStep(), col("changed"))
             colors = c2; changed = nChanged
           }
           colors

@@ -34,10 +34,14 @@ object TriangleCount {
     // one pass over the (possibly expensive) input plan: canonicalization
     // AND the vertex universe both derive from this cache (same hazard CC
     // documents — without it the final vertices join re-executes the full
-    // upstream plan a second time)
+    // upstream plan a second time). An already-cached input is read
+    // through its own cache — no second copy.
+    val pre = edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val raw = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    raw.count()
+    if (!pre) {
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      raw.count()
+    }
     val canon = graft.graph.EdgeOps.canonicalize(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canonRows = canon.count()
@@ -84,7 +88,7 @@ object TriangleCount {
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the intermediates
-    raw.unpersist(false)
+    if (!pre) raw.unpersist(false)
     canon.unpersist(false)
     oriented.unpersist(false)
     out

@@ -454,6 +454,69 @@ case class VectorSum(child: Expression,
     copy(child = newChild)
 }
 
+/** Order-sensitive polynomial document fingerprint of a token-array
+  * column in ONE pass — the native replacement for the nested builtin-HOF
+  * formulation (`aggregate(tokens, 0, (acc, t) => pmod(acc·1000003 +
+  * aggregate(chars(t), 0, (a, c) => pmod(a·131 + c, P)), P))`): that
+  * chain splits every token into per-character one-element strings and
+  * runs two interpreted lambda folds per token — the measured
+  * q_text_analysis hot spot. Values are bit-identical (pinned by test):
+  * per token a rolling polynomial over CODEPOINTS (matching the HOF's
+  * `ascii(ch)` per split character) mod the 31-bit prime P, combined
+  * with multiplier 1000003 mod P. Null array → null; a null ELEMENT →
+  * null (the HOF's propagation). */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_fingerprint"
+
+  private val P = 2147483629L
+
+  /** Boxed Long (null when a token is null — the HOF propagation). */
+  def computeFp(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val s = arr.getUTF8String(i).toString
+      var h = 0L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * 131L + cp) % P
+        j += Character.charCount(cp)
+      }
+      acc = (acc * 1000003L + h) % P
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val r = computeFp(a.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fpExpr", this, classOf[PolyFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long ${ev.value}Boxed = $ref.computeFp($a);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.longValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<numeric> columns, in double. */
   def dot(a: Column, b: Column): Column =
@@ -478,4 +541,8 @@ object VectorExpressions {
   def simhash(tokens: Column, portable: Boolean = false): Column =
     ExpressionUtils.column(SimHashSignature(ExpressionUtils.expression(tokens),
       portable))
+
+  /** One-pass polynomial document fingerprint of a token-array column. */
+  def fingerprint(tokens: Column): Column =
+    ExpressionUtils.column(PolyFingerprint(ExpressionUtils.expression(tokens)))
 }

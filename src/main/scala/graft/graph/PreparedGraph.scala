@@ -131,8 +131,12 @@ object PreparedGraph {
     * shuffle.partitions-task stages every superstep. */
   def apply(edgesDf: DataFrame, numPartitions: Int = 0): PreparedGraph = {
     val spark = edgesDf.sparkSession
+    // an already-cached input (e.g. a memoized edge frame) is read through
+    // its own cache — persisting a second copy just to build from it costs
+    // an extra materialization pass and duplicate storage
+    val pre = edgesDf.storageLevel != StorageLevel.NONE
     val e = edgesDf.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!pre) e.persist(StorageLevel.MEMORY_AND_DISK)
     var adj: DataFrame = null
     var verts: DataFrame = null
     try {
@@ -155,6 +159,6 @@ object PreparedGraph {
         if (adj != null) adj.unpersist(false)
         if (verts != null) verts.unpersist(false)
         throw t
-    } finally e.unpersist(false)
+    } finally if (!pre) e.unpersist(false)
   }
 }

@@ -46,4 +46,18 @@ object AdaptivePartitions {
     * shuffle-hash (never a per-superstep sort) otherwise. */
   def sideFor(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowCeiling) broadcast(df) else df.hint("SHUFFLE_HASH")
+
+  /** Spread a narrow scan across the cluster before a CPU-heavy per-row
+    * stage: an input landing in fewer splits than cores SERIALIZES that
+    * stage on those few tasks (measured: one small parquet file = one
+    * partition running the shingle + 128-hash signature pipeline on one
+    * core — 4.8 s of a 5 s query). A repartition below the parallelism
+    * floor is cheap by construction (the input is small); inputs already
+    * at/above the floor pass through untouched, so large scans keep their
+    * splits and pay nothing. Round-robin repartition is retry-safe here
+    * (Spark sorts before round-robin by default — guide §2.5). */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }

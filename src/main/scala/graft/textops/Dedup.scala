@@ -61,7 +61,10 @@ object Dedup {
     // left as a plan, the regexp-tokenize → shingle pipeline re-evaluates
     // ~4× (Catalyst inlines it into every consumer)
     val sh = graft.runtime.Trace.stage("ngram_shingles") {
-      docs.select(col(idCol).as("id"),
+      // spread a few-split corpus before the CPU-heavy shingle stage
+      // (one small parquet file would serialize it on one core)
+      graft.runtime.AdaptivePartitions.spread(docs)
+        .select(col(idCol).as("id"),
           explode(shingles(col(textCol), k)).as("s"))
         .localCheckpoint(true)
     }
@@ -136,7 +139,11 @@ object Dedup {
     // portable mode is ASCII-gated: a non-ASCII doc raises instead of
     // silently diverging from the DuckDB oracle family (ADVICE r4)
     val textIn = if (portable) PortableHash.assertAscii(col(textCol)) else col(textCol)
-    val sh = docs.select(col(idCol).as("id"), shingles(textIn, k).as("sh"))
+    // spread a few-split corpus before the shingle + numHashes-signature
+    // stage (the query's CPU hot spot — measured 4.8 s on one core from a
+    // single-file scan vs ~0.3 s spread)
+    val sh = graft.runtime.AdaptivePartitions.spread(docs)
+      .select(col(idCol).as("id"), shingles(textIn, k).as("sh"))
       .localCheckpoint(true)
     var banded: DataFrame = null
     // releases in try/finally: the intermediate blocks are NOT
@@ -268,7 +275,8 @@ object Dedup {
     // hash once, reused by both self-join sides and released after the
     // (small) result is materialized
     val sig = if (portable) simhashPortable(col(textCol)) else simhash(col(textCol))
-    val withSh = docs.select(col(idCol).as("id"), sig.as("sh"))
+    val withSh = graft.runtime.AdaptivePartitions.spread(docs)
+      .select(col(idCol).as("id"), sig.as("sh"))
       .localCheckpoint(true)
     try {
       // NOTE w = 64 (maxHamming = 0): 1L << 64 wraps to 1 in Java/Scala

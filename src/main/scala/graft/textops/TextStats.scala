@@ -48,28 +48,38 @@ object TextStats {
     size(filter(tokens, t => array_contains(arr, lower(t)))).cast("double")
   }
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokensWs(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokensWs(text))
+
+  private def stopwordRatioOf(toks: Column): Column =
     when(size(toks) === 0, 0.0)
       .otherwise(stopHits(toks, enStop) / size(toks))
-  }
 
   /** Heuristic quality score in [0,1]: length band + low punct/digit noise
     * + stopword presence (the classic Gopher/C4-style cheap filters). */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCountWs(text)
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokensWs(text))
+
+  /** [[qualityScore]] over a PRE-COMPUTED token column: the tokenizer
+    * (regex split) is the expression's hot subtree and Catalyst evaluates
+    * every occurrence — a caller computing several text stats should
+    * project the tokens once and pass them here (CollapseProject keeps a
+    * non-cheap multi-referenced alias in its own projection, so the split
+    * runs once per row). Values identical to [[qualityScore]]. */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val n = size(toks).cast("long")
     val lengthOk = when(n.between(5, 100000), 1.0).otherwise(0.0)
     val punctOk = lit(1.0) - least(lit(1.0), punctRatio(text) * 4)
     val digitOk = lit(1.0) - least(lit(1.0), digitRatio(text) * 4)
-    val stopOk = least(lit(1.0), stopwordRatio(text) * 5)
+    val stopOk = least(lit(1.0), stopwordRatioOf(toks) * 5)
     round((lengthOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + stopOk * 0.2), 6)
   }
 
   /** Language ID by stopword-hit voting over {en,de,fr,es,it}; "und"
     * (undetermined) when nothing scores. Deterministic tie-break by
     * language order. */
-  def langId(text: Column): Column = {
-    val toks = tokensWs(text)
+  def langId(text: Column): Column = langIdOf(tokensWs(text))
+
+  /** [[langId]] over a pre-computed token column (see [[qualityScoreOf]]). */
+  def langIdOf(toks: Column): Column = {
     val scores = map(
       lit("en"), stopHits(toks, enStop), lit("de"), stopHits(toks, deStop),
       lit("fr"), stopHits(toks, frStop), lit("es"), stopHits(toks, esStop),
@@ -96,8 +106,22 @@ object TextStats {
 
   /** Order-sensitive document fingerprint: polynomial over whitespace
     * tokens' [[tokenHash]] values mod the same prime (a reordered document
-    * fingerprints differently). Pure arithmetic → engine-portable. */
-  def fingerprint(text: Column): Column =
+    * fingerprints differently). Pure arithmetic → engine-portable.
+    * Computed by the NATIVE one-pass expression
+    * (graftvec.PolyFingerprint) — bit-identical to the nested-HOF
+    * formulation below, which survives as [[fingerprintHof]] for the
+    * parity pin (the HOF chain split every token into per-character
+    * strings through two interpreted lambda folds — the measured
+    * q_text_analysis hot spot). */
+  def fingerprint(text: Column): Column = fingerprintOf(tokensWs(text))
+
+  /** [[fingerprint]] over a pre-computed token column. */
+  def fingerprintOf(toks: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.fingerprint(toks)
+
+  /** The builtin-HOF fingerprint formulation — the test pin for the
+    * native expression's bit-identity. */
+  private[graft] def fingerprintHof(text: Column): Column =
     aggregate(tokensWs(text), lit(0L),
       (acc, t) => pmod(acc * 1000003L + tokenHash(t), lit(FpPrime)))
 
@@ -142,8 +166,10 @@ object TextStats {
     * frame — the single corpus scan [[tfidf]] materializes. */
   private[graft] def tfParts(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokensWs(col(textCol))).as("token"))
+    // spread a few-split corpus before the tokenize+explode stage
+    val toks = graft.runtime.AdaptivePartitions.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokensWs(col(textCol))).as("token"))
     (toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
       docs.agg(count(lit(1)).as("N")))
   }

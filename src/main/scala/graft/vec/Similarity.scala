@@ -47,7 +47,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("nid"), normalized(col(vecCol)).as("nv"))
+    // spread a few-split corpus scan: the per-(row × query) scoring loop
+    // is the CPU hot spot and a single-file corpus serializes it
+    val c = graft.runtime.AdaptivePartitions.spread(corpus)
+      .select(col(idCol).as("nid"), normalized(col(vecCol)).as("nv"))
     val q = queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot(col("qv"), col("nv")).as("cos"))
@@ -126,12 +129,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val planes = planeMatrices(corpus.sparkSession, tables, bits,
       dimOf(corpus, vecCol), portable)
+    // spread a few-split corpus before the tables×bits projection stage
+    val corpusS = graft.runtime.AdaptivePartitions.spread(corpus)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         posexplode(array((0 until tables).map(t =>
           lshBucketExpr(col(vecCol), planes(t))): _*)))
         .select(col(id), col(vec), col("pos").as("table"), col("col").as("bucket"))
-    val c = bucketed(corpus, "nid", "nv")
+    val c = bucketed(corpusS, "nid", "nv")
     val q = bucketed(queries, "qid", "qv")
     // dedup multi-table candidate hits on the ID PAIR only, then rejoin
     // the vectors once — distinct() over full embedding arrays would
@@ -143,7 +148,7 @@ object Similarity {
     val scored = cand
       .join(queries.select(col(idCol).as("qid"),
         normalized(col(vecCol)).as("qv")), Seq("qid"))
-      .join(corpus.select(col(idCol).as("nid"),
+      .join(corpusS.select(col(idCol).as("nid"),
         normalized(col(vecCol)).as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"), dot(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
@@ -155,8 +160,9 @@ object Similarity {
     * only; use [[cosineDupes]] at scale. */
   def cosineDupesExact(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("ia"), normalized(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("ib"), normalized(col(vecCol)).as("vb"))
+    val cs = graft.runtime.AdaptivePartitions.spread(corpus)
+    val a = cs.select(col(idCol).as("ia"), normalized(col(vecCol)).as("va"))
+    val b = cs.select(col(idCol).as("ib"), normalized(col(vecCol)).as("vb"))
     a.join(b, col("ia") < col("ib"))
       .select(col("ia"), col("ib"), dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
@@ -174,7 +180,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val planes = planeMatrices(corpus.sparkSession, tables, bits,
       dimOf(corpus, vecCol))
-    val bucketed = corpus
+    val corpusS = graft.runtime.AdaptivePartitions.spread(corpus)
+    val bucketed = corpusS
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         posexplode(array((0 until tables).map(t =>
           lshBucketExpr(col(vecCol), planes(t))): _*)))
@@ -185,8 +192,8 @@ object Similarity {
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
     cand
-      .join(corpus.select(col(idCol).as("ia"), normalized(col(vecCol)).as("va")), Seq("ia"))
-      .join(corpus.select(col(idCol).as("ib"), normalized(col(vecCol)).as("vb")), Seq("ib"))
+      .join(corpusS.select(col(idCol).as("ia"), normalized(col(vecCol)).as("va")), Seq("ia"))
+      .join(corpusS.select(col(idCol).as("ib"), normalized(col(vecCol)).as("vb")), Seq("ib"))
       .select(col("ia"), col("ib"), dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }

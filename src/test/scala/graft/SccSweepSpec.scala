@@ -21,6 +21,20 @@ class SccSweepSpec extends SparkTestBase {
     }
   }
 
+  test("inputIsSimple is a performance contract only: labels stay correct " +
+      "even when the assertion is WRONG (self-loops + duplicate edges)") {
+    // randomEdges may contain dups and self-loops — exactly the input the
+    // flag claims to not need deduped; labels must equal Tarjan's anyway
+    val cases = Seq((201, 60, 150), (202, 30, 120))
+    cases.foreach { case (seed, n, m) =>
+      val pairs = randomEdges(seed, n, m)
+      val ours = StronglyConnectedComponents.run(edgesDF(pairs),
+          StronglyConnectedComponents.Config(inputIsSimple = true))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ours == tarjanScc(pairs), s"inputIsSimple seed=$seed")
+    }
+  }
+
   test("SCC labels are invariant to input partitioning") {
     val pairs = randomEdges(77, n = 60, m = 150)
     val base = StronglyConnectedComponents.run(edgesDF(pairs))

@@ -246,6 +246,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(f(1L) == f(3L) && f(1L) != f(2L))
   }
 
+  test("native PolyFingerprint is bit-identical to the builtin-HOF " +
+      "formulation (corpus + non-ASCII codepoints + empty)") {
+    import spark.implicits._
+    // the full sf0.001 corpus plus adversarial rows: empty text, BMP
+    // non-ASCII (the HOF hashes per-codepoint via ascii(ch) — the native
+    // loop must match, not hash UTF-8 bytes), astral plane (surrogate
+    // pair = ONE codepoint both ways)
+    val extra = Seq((100001L, ""), (100002L, "héllo wörld"),
+      (100003L, "日本語 テスト"), (100004L, "a😀b mixed"))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(extra)
+    val mism = all.select(
+        (TextStats.fingerprint(col("text")) =!=
+          TextStats.fingerprintHof(col("text"))).as("m"))
+      .agg(sum(when(col("m"), 1).otherwise(0))).first().getLong(0)
+    assert(mism == 0L, s"$mism fingerprint mismatches vs the HOF pin")
+  }
+
   test("brute-force cosine top-k: self-similar clusters rank first") {
     val exact = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5), 3)
     assert(exact.count() == 15)
