@@ -22,6 +22,23 @@ object BenchExtra {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.runtime.Sessions.local(cpus, 2 * cpus, "graft-bench-extra")
+    if (graft.runtime.Trace.enabled) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = for { a <- i.completionTime; b <- i.submissionTime } yield a - b
+          if (ms.exists(_ > 100))
+            System.err.println(f"[stage] id=${i.stageId} tasks=${i.numTasks} " +
+              f"ms=${ms.get} runMs=${i.taskMetrics.executorRunTime} " +
+              f"cpuMs=${i.taskMetrics.executorCpuTime / 1000000} " +
+              f"serMs=${i.taskMetrics.resultSerializationTime} " +
+              f"shW=${i.taskMetrics.shuffleWriteMetrics.bytesWritten} " +
+              f"shR=${i.taskMetrics.shuffleReadMetrics.totalBytesRead} " +
+              i.name.takeWhile(_ != '\n').take(60))
+        }
+      })
+    }
     def time[T](f: => T): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

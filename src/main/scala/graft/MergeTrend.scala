@@ -28,8 +28,14 @@ object MergeTrend {
         s"part $p disagrees with ${parts.head._1} on '$key' — refusing to " +
           "merge captures taken under different protocols")
     }
-    val workloads = parts.flatMap { case (_, j) =>
-      (j \ "workloads").asInstanceOf[JObject].obj
+    val workloads = parts.flatMap { case (p, j) =>
+      j \ "workloads" match {
+        case JObject(obj) => obj
+        // loud named-file protocol error (ADVICE r5) instead of an opaque
+        // ClassCastException on e.g. a capture that crashed pre-checkpoint
+        case other => sys.error(s"part $p has no 'workloads' object " +
+          s"(found ${other.getClass.getSimpleName}) — not a trend capture?")
+      }
     }
     // last entry per name wins, preserving first-seen order
     val names = workloads.map(_._1).distinct

@@ -116,6 +116,8 @@ object ConnectedComponents {
       }
     }
 
+    cfg.checkpoint.foreach(c => Checkpoints.flushLog(spark, c, "cc"))
+
     // Loud failure when the cap trips (house precedent: SCC's require —
     // the reference silently returns partial labels): a non-converged edge
     // set is not yet a star forest, so the left join below would emit

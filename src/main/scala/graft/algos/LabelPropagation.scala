@@ -136,6 +136,7 @@ object LabelPropagation {
           (System.nanoTime() - t0) / 1000000)
       }
     }
+    cfg.checkpoint.foreach(c => Checkpoints.flushLog(spark, c, "lpa"))
     val out = labels.select(col("id"), col("label")).persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before releasing iteration state
     rotator.close()

@@ -185,6 +185,7 @@ object PageRank {
           (System.nanoTime() - t0) / 1000000)
       }
     }
+    cfg.checkpoint.foreach(c => Checkpoints.flushLog(g.spark, c, algo))
     (ranks, rotator)
   }
 
@@ -253,6 +254,7 @@ object PageRank {
           (System.nanoTime() - t0) / 1000000)
       }
     }
+    cfg.checkpoint.foreach(c => Checkpoints.flushLog(g.spark, c, algo))
     (state.select("id", "rank"), rotator)
   }
 

@@ -106,17 +106,24 @@ object StronglyConnectedComponents {
       round += 1
       val t0 = System.nanoTime()
 
-      // ---- 1. trim to fixed point: keep only vertices with in AND out
+      // ---- 1. trim to fixed point: keep only vertices with in AND out.
+      // The keep set (≤ |V| ≤ 2·eRows rows) is computed in ONE union-agg
+      // pass and joined size-adaptively: broadcast while it provably fits
+      // (then the two semi-joins are map-side — zero shuffles of e),
+      // shuffled-hash at web scale. The r5 shape distinct'd srcs and dsts
+      // separately and shuffled e through both semi-joins every iteration.
       var trimmed = true
       while (trimmed && eRows > 0) {
         val p = AdaptivePartitions.forRows(spark, eRows, cfg.numPartitions)
-        val srcs = e.select(col("src").as("id")).distinct()
-        val dsts = e.select(col("dst").as("id")).distinct()
-        val keep = srcs.join(dsts.hint("SHUFFLE_HASH"), Seq("id"), "left_semi")
+        val keep = e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+          .union(e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("id").agg(max("o").as("ho"), max("i").as("hi"))
+          .filter(col("ho") === 1 && col("hi") === 1)
+        def side(df: DataFrame) = AdaptivePartitions.sideFor(df, 2 * eRows)
         val kept = e
-          .join(keep.select(col("id").as("ks")).hint("SHUFFLE_HASH"),
+          .join(side(keep.select(col("id").as("ks"))),
             col("src") === col("ks"), "left_semi")
-          .join(keep.select(col("id").as("kd")).hint("SHUFFLE_HASH"),
+          .join(side(keep.select(col("id").as("kd"))),
             col("dst") === col("kd"), "left_semi")
         val (e2, n2) = rotateCounted(rotE, kept.coalesce(p), nextStep())
         trimmed = n2 < eRows
@@ -159,14 +166,19 @@ object StronglyConnectedComponents {
         // shallow LogicalRDD-rooted plans per round keep stats O(1).
         def keyOf(idc: org.apache.spark.sql.Column) =
           struct(xxhash64(idc, lit(7L)).as("k"), idc.as("i"))
+        // vertexBound: upper bound on the propagation's state rows — join
+        // sides broadcast when the REMAINING subgraph is provably tiny
+        // (post-trim remainder rounds: exchange-stage scheduling dominates
+        // a 2k-row round), shuffled-hash otherwise (the scale path)
         def minReach(edges: DataFrame, initVerts: DataFrame,
-            rot: StateRotator): DataFrame = {
+            rot: StateRotator, vertexBound: Long): DataFrame = {
+          def side(df: DataFrame) = AdaptivePartitions.loopSideFor(df, vertexBound)
           def relax(cs: DataFrame): DataFrame = {
             val senders = cs.filter(col("changed"))
               .select(col("id").as("sid"), col("color").as("scolor"))
-            val msgs = edges.join(senders.hint("SHUFFLE_HASH"), col("src") === col("sid"))
+            val msgs = edges.join(side(senders), col("src") === col("sid"))
               .groupBy(col("dst")).agg(min(col("scolor")).as("m"))
-            cs.join(msgs.hint("SHUFFLE_HASH"), cs("id") === msgs("dst"), "left")
+            cs.join(side(msgs), cs("id") === msgs("dst"), "left")
               .select(cs("id"),
                 least(cs("color"), coalesce(col("m"), cs("color"))).as("color"),
                 (col("m").isNotNull && col("m") < cs("color")).as("changed"))
@@ -179,7 +191,7 @@ object StronglyConnectedComponents {
           // BigInteger arithmetic at sf0.1)
           def shortcut(cs: DataFrame): DataFrame = {
             val m = cs.select(col("id").as("mid"), col("color").as("mcolor"))
-            cs.join(m.hint("SHUFFLE_HASH"),
+            cs.join(side(m),
                 cs("color").getField("i") === col("mid"), "left")
               .select(cs("id"),
                 least(cs("color"), coalesce(col("mcolor"), cs("color"))).as("color"),
@@ -210,7 +222,7 @@ object StronglyConnectedComponents {
         // hash-min member OF the class (any smaller-key member would have
         // re-colored z through z→member reachability... it IS reached by
         // z, and its own color must then be ≤ z's key, forcing equality)
-        val colors = minReach(e, EdgeOps.vertices(e), rotC)
+        val colors = minReach(e, EdgeOps.vertices(e), rotC, 2 * eRows)
 
         // ---- 3. backward confirmation within color classes, as the SAME
         // accelerated propagation on the REVERSED same-color edge set:
@@ -226,12 +238,12 @@ object StronglyConnectedComponents {
           .filter(col("csc") === col("cdc"))
           .select(col("src"), col("dst"))
         val ecol = ecolPlan.coalesce(p).persist(StorageLevel.MEMORY_AND_DISK)
-        ecol.count()
+        val ecolRows = ecol.count()
         val rev = ecol.select(col("dst").as("src"), col("src").as("dst"))
         // separate rotator: rotC still owns `colors`, which the confirmed
         // join below reads — rotating bcolors through rotC would release
         // the live forward-color blocks
-        val bcolors = minReach(rev, EdgeOps.vertices(ecol), rotFr)
+        val bcolors = minReach(rev, EdgeOps.vertices(ecol), rotFr, 2 * ecolRows)
         val members = colors.join(
             bcolors.select(col("id"), col("color").as("bcolor")).hint("SHUFFLE_HASH"),
             Seq("id"), "left")

@@ -343,6 +343,7 @@ object Pregel {
           (System.nanoTime() - t0) / 1000000)
       }
     }
+    cfg.checkpoint.foreach(c => Checkpoints.flushLog(spark, c, cfg.algo))
     rotator.close()
     state
   }

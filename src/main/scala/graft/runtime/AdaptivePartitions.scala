@@ -42,6 +42,20 @@ object AdaptivePartitions {
     * Above it the caller should keep a shuffle-hash join (scale path). */
   val BroadcastRowCeiling: Long = 2000000L
 
+  /** Much tighter ceiling for PER-ITERATION broadcasts inside superstep
+    * loops: each broadcast is a blocking driver job, and at ~100k-row
+    * state the engine measured per-superstep broadcasting 2× SLOWER than
+    * two small exchanges (PageRank.msgSums). Below this bound the frame
+    * is a few hundred KB and the exchange-stage scheduling dominates
+    * instead — e.g. SCC's post-trim remainder rounds, where the design
+    * contract is that late rounds of a web-scale run cost small-graph
+    * money. */
+  val LoopBroadcastRowCeiling: Long = 65536L
+
+  /** [[sideFor]] under the per-iteration ceiling. */
+  def loopSideFor(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= LoopBroadcastRowCeiling) broadcast(df) else df.hint("SHUFFLE_HASH")
+
   /** Join-side strategy by known row count: broadcast when provably small,
     * shuffle-hash (never a per-superstep sort) otherwise. */
   def sideFor(df: DataFrame, rows: Long): DataFrame =

@@ -158,21 +158,54 @@ object Checkpoints {
     * The log is an append-only journal of EXECUTED supersteps: a resume
     * that re-runs supersteps past its snapshot re-logs them (they ran
     * again) — consumers aggregating wall time must group by superstep or
-    * take the last attempt, not sum blindly. */
+    * take the last attempt, not sum blindly.
+    *
+    * BUFFERED writes (r6): the per-partition counts are collected (≤
+    * numPartitions tiny rows) into a driver-side buffer and flushed as
+    * ONE append per durable-snapshot cadence plus a final [[flushLog]]
+    * each algorithm loop issues — a per-superstep parquet-append JOB was
+    * ~60% of a 72-superstep tol run's wall time. Durability is aligned
+    * with the resume contract: rows past the last flush belong to
+    * supersteps a resume re-executes (and re-logs) anyway, because
+    * snapshots — not the log — are the resume points. */
   def logSuperstep(state: DataFrame, cfg: CheckpointConfig, algo: String,
       superstep: Int, l1Delta: Double, activeCount: Long, wallMs: Long): Unit = {
-    val perPart = state
-      .select(spark_partition_id().as("partition_id"))
-      .groupBy("partition_id").agg(count(lit(1)).as("rows"))
-      .select(
-        lit(cfg.runId).as("run_id"),
-        lit(superstep).as("superstep"),
-        col("partition_id"), col("rows"),
-        lit(l1Delta).as("l1_delta"),
-        lit(activeCount).as("active_count"),
-        lit(wallMs).as("wall_ms"))
-    TableIO.forSession(state.sparkSession).append(perPart, logPath(cfg, algo))
+    val counts = state.select(spark_partition_id().as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n")).collect()
+    val buf = logBuffers.getOrElseUpdate((cfg.dir, cfg.runId, algo),
+      new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])
+    buf.synchronized {
+      counts.foreach { r =>
+        buf += org.apache.spark.sql.Row(cfg.runId, superstep, r.getInt(0),
+          r.getLong(1), l1Delta, activeCount, wallMs)
+      }
+    }
+    if (cfg.every > 0 && superstep % cfg.every == 0) flushLog(state.sparkSession, cfg, algo)
   }
+
+  private val logBuffers = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
+
+  private val logSchema = new org.apache.spark.sql.types.StructType()
+    .add("run_id", "string").add("superstep", "int").add("partition_id", "int")
+    .add("rows", "long").add("l1_delta", "double").add("active_count", "long")
+    .add("wall_ms", "long")
+
+  /** Flush buffered superstep-log rows as one append. Every algorithm
+    * loop calls this after its last superstep (and [[logSuperstep]]
+    * self-flushes on the snapshot cadence). Idempotent when empty. */
+  def flushLog(spark: SparkSession, cfg: CheckpointConfig, algo: String): Unit =
+    logBuffers.get((cfg.dir, cfg.runId, algo)).foreach { buf =>
+      val rows = buf.synchronized {
+        val r = buf.toList; buf.clear(); r
+      }
+      if (rows.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        TableIO.forSession(spark).append(
+          spark.createDataFrame(rows.asJava, logSchema), logPath(cfg, algo))
+      }
+    }
 
   def readLog(spark: SparkSession, cfg: CheckpointConfig, algo: String): DataFrame =
     TableIO.forSession(spark).read(spark, logPath(cfg, algo))
@@ -327,24 +360,32 @@ object IterationHygiene {
     * heuristic only — every timeout falls back to the caller's count. */
   def awaitObservedRow(
       obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] = {
-    val degraded = consecutiveTimeouts >= 3
+    val degraded = consecutiveTimeouts.get() >= 3
     val probe = degraded && awaitCount.incrementAndGet() % 10 == 0
     val maxTries = if (degraded && !probe) 40 else 400
     var tries = 0
     while (tries < maxTries) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
-          consecutiveTimeouts = 0
+          consecutiveTimeouts.set(0)
           return if (row.length > 0) Some(row) else None
         case Some(scala.util.Failure(_)) => return None // resolved, not a timeout
-        case _ => Thread.sleep(25); tries += 1
+        case _ =>
+          // listener-bus latency is usually single-digit ms once the job
+          // finished: poll tightly first (a 25 ms first tick taxed EVERY
+          // rotation of a many-superstep run ~2 s/100 rotations), then
+          // back off to the 25 ms cadence
+          Thread.sleep(if (tries < 10) 2 else 25); tries += 1
       }
     }
-    consecutiveTimeouts += 1
+    consecutiveTimeouts.incrementAndGet()
     None
   }
 
-  @volatile private var consecutiveTimeouts = 0
+  // AtomicInteger, not a @volatile var (ADVICE r5): concurrent algorithm
+  // runs raced the read-modify-write and could over/under-count the
+  // degradation latch
+  private val consecutiveTimeouts = new java.util.concurrent.atomic.AtomicInteger
   private val awaitCount = new java.util.concurrent.atomic.AtomicLong
 
   /** [[awaitObservedRow]] specialized to a single-long observation. */

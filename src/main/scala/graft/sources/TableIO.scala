@@ -66,6 +66,8 @@ object TableIO {
   * hdfs://, s3a://). Committed = Spark's _SUCCESS marker present. */
 object ParquetTableIO extends TableIO {
 
+  private val markerlessWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def fsOf(spark: SparkSession, ref: String) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(ref)
@@ -102,7 +104,19 @@ object ParquetTableIO extends TableIO {
     val (fs, p, conf) = fsOf(spark, ref)
     if (marksSuccess(conf))
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    else fs.exists(p)
+    else {
+      // loud ONE-TIME warning (ADVICE r5): with success markers disabled,
+      // every committed() consumer (checkpoint fingerprints, Pipeline
+      // stage-skip, resume discovery) silently degrades to the bare
+      // exists() torn-write hazard the method exists to close — operators
+      // must know detection is off for the session
+      if (ParquetTableIO.markerlessWarned.compareAndSet(false, true))
+        System.err.println("[graft] WARNING: " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=false — " +
+          "committed() falls back to bare exists(); torn-write detection " +
+          "is DISABLED for this session's tables and checkpoints")
+      fs.exists(p)
+    }
   }
 
   override def children(spark: SparkSession, ref: String): Seq[String] = {
