@@ -88,14 +88,12 @@ object SVDPlusPlus {
     val e = edges.select(col("src"), col("dst"),
         col("rating").cast("double").as("rating"))
     if (!pre) e.persist(StorageLevel.MEMORY_AND_DISK)
-    val eRows = e.count()
+    // one action materializes the cache AND yields |E| + μ (was two)
+    val r0 = e.agg(sum("rating"), count(lit(1))).first()
+    val eRows = r0.getLong(1)
     require(eRows > 0, "SVD++ needs at least one rating edge")
     val p = AdaptivePartitions.forRows(spark, eRows, numPartitions)
-
-    // μ = global mean rating
-    val u = e.agg(sum("rating"), count(lit(1))).first() match {
-      case r => r.getDouble(0) / r.getLong(1)
-    }
+    val u = r0.getDouble(0) / eRows // μ = global mean rating
 
     // init: deg/bias from BOTH directions (reference t0 sends to src+dst)
     val incident = e.select(col("src").as("id"), col("rating"))
@@ -111,13 +109,17 @@ object SVDPlusPlus {
       .coalesce(p))
     var step = 0
 
+    // elementwise array-sum per vertex via the NATIVE VectorSum aggregate
+    // (ObjectHashAggregate with map-side partial combine — rank-length
+    // buffers, so shuffle volume stays rank·|V|·partitions): the r5 shape
+    // posexploded rank·|E| rows through a (vid, pos) aggregation, a second
+    // (vid) collect_list + sort, and an extra exchange per phase
     def arraySumAgg(rows: DataFrame, vid: Column, arr: Column,
         outName: String): DataFrame =
-      rows.select(vid.as("vid"), posexplode(arr).as(Seq("pos", "v")))
-        .groupBy("vid", "pos").agg(sum("v").as("s"))
+      rows.select(vid.as("vid"), arr.as("__v"))
         .groupBy("vid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          x => x.getField("s")).as(outName))
+        .agg(org.apache.spark.sql.graftvec.VectorExpressions
+          .vectorSum(col("__v")).as(outName))
 
     for (_ <- 1 to conf.maxIters) {
       // ---- phase 1: p̃ = p + norm·Σ_{out-edges} y(dst) for senders' srcs
@@ -170,25 +172,14 @@ object SVDPlusPlus {
             ((col("err") - lit(conf.gamma6) * col("ib")) * conf.gamma1).as("b")))).as("m"))
         .select(col("m.vid").as("vid"), col("m.a1").as("a1"),
           col("m.a2").as("a2"), col("m.b").as("b"))
-      // bias rides the SAME posexplode stream as an extra slot at pos=rank
-      // (one aggregation pass + ONE state join; a separate
-      // `msgs.groupBy(vid).agg(sum(b))` re-executed the whole message
-      // subtree and cost a second |V|-row join)
-      val arrSums = msgs
-        .select(col("vid"),
-          posexplode(concat(arrays_zip(col("a1"), col("a2")),
-            array(struct(col("b").as("a1"), lit(0.0).as("a2")))))
-            .as(Seq("pos", "z")))
-        .select(col("vid"), col("pos"),
-          col("z.a1").as("x1"), col("z.a2").as("x2"))
-        .groupBy("vid", "pos").agg(sum("x1").as("s1"), sum("x2").as("s2"))
-        .groupBy("vid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("s1"), col("s2"))))
-          .as("zs"))
-        .select(col("vid"),
-          transform(slice(col("zs"), 1, conf.rank), x => x.getField("s1")).as("d1"),
-          transform(slice(col("zs"), 1, conf.rank), x => x.getField("s2")).as("d2"),
-          element_at(col("zs"), conf.rank + 1).getField("s1").as("db"))
+      // both factor-delta arrays AND the bias delta in ONE aggregation
+      // pass + ONE state join (native VectorSum — see arraySumAgg; a
+      // separate bias aggregation re-executed the whole message subtree
+      // and cost a second |V|-row join)
+      val vsum = org.apache.spark.sql.graftvec.VectorExpressions.vectorSum _
+      val arrSums = msgs.groupBy("vid").agg(
+        vsum(col("a1")).as("d1"), vsum(col("a2")).as("d2"),
+        sum(col("b")).as("db"))
       val s2 = state
         .join(arrSums.hint("SHUFFLE_HASH"), state("id") === arrSums("vid"), "left")
         .select(col("id"),

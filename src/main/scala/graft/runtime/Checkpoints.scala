@@ -180,7 +180,12 @@ object Checkpoints {
           r.getLong(1), l1Delta, activeCount, wallMs)
       }
     }
-    if (cfg.every > 0 && superstep % cfg.every == 0) flushLog(state.sparkSession, cfg, algo)
+    // flush on the snapshot cadence, plus a size backstop so a sparse
+    // cadence × many partitions × many supersteps cannot grow the driver
+    // buffer unboundedly (100k rows ≈ a few MB)
+    if ((cfg.every > 0 && superstep % cfg.every == 0) ||
+        buf.synchronized(buf.size) > 100000)
+      flushLog(state.sparkSession, cfg, algo)
   }
 
   private val logBuffers = scala.collection.concurrent.TrieMap
