@@ -60,6 +60,34 @@ object BenchExtra {
         }
         println(f"""{"headline_prep_sec":$prep%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"edges":${g.numEdges}}""")
         g.unpersist()
+      case "tol" :: _ =>
+        // Bench's iterations-to-1e-6 phase isolated (same workload, same
+        // checkpoint config), 3 runs on one cached graph — for A/B-ing the
+        // superstep loop's fixed costs without the 30-query suite around it
+        val edges = graft.graph.GraphGen.logNormalEdges(spark, 10000,
+          mu = 1.5, sigma = 1.0, numPartitions = cpus).cache()
+        edges.count()
+        val jobCount = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobCount.incrementAndGet()
+          })
+        val runs = (1 to 3).map { i =>
+          val ckdir = java.nio.file.Files
+            .createTempDirectory(s"benchcktol$i").toString
+          val ck = graft.runtime.CheckpointConfig(ckdir, "bench",
+            every = 1000, localEvery = 2)
+          val j0 = jobCount.get()
+          val t = time {
+            val r = graft.algos.PageRank.run(edges,
+              graft.algos.PageRank.Config(tol = Some(1e-6), checkpoint = Some(ck)))
+            r.unpersist(false)
+          }
+          (t, jobCount.get() - j0)
+        }
+        println(f"""{"tol_runs":[${runs.map(r => f"${r._1}%.3f").mkString(",")}],"tol_jobs":[${runs.map(_._2).mkString(",")}]}""")
       case "noop" :: names =>
         val results = names.map { name =>
           spark.sparkContext.setJobDescription(s"noop:$name")

@@ -85,7 +85,7 @@ object ConnectedComponents {
         // start from the canonical simple undirected form, big→small;
         // rawRows bounds the canonical row count → partition sizing
         val p0 = AdaptivePartitions.forRows(spark, rawRows, cfg.numPartitions)
-        val (df, sig) = rotateObserved(rotator,
+        val (df, sig, _) = rotateObserved(rotator,
           raw.filter(col("src") =!= col("dst"))
             .select(greatest(col("src"), col("dst")).as("src"),
               least(col("src"), col("dst")).as("dst"))
@@ -102,8 +102,8 @@ object ConnectedComponents {
       val t0 = System.nanoTime()
       val prevRows = sigPrev._1
       val p = AdaptivePartitions.forRows(spark, prevRows, cfg.numPartitions)
-      val (next, sig) = rotateObserved(rotator,
-        smallStar(largeStar(e)).coalesce(p), round)
+      val (next, sig, cnts) = rotateObserved(rotator,
+        smallStar(largeStar(e)).coalesce(p), round, cfg.checkpoint.isDefined)
       e = next
       converged = sig == sigPrev
       sigPrev = sig
@@ -111,8 +111,13 @@ object ConnectedComponents {
         (System.nanoTime() - t0) / 1e9)
       graft.runtime.Trace.log(f"cc round=$round edges=${sig._1} p=$p")
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(e, c, "cc", round, Double.NaN, sig._1,
-          (System.nanoTime() - t0) / 1000000)
+        val wall = (System.nanoTime() - t0) / 1000000
+        cnts match {
+          case Some(cs) => Checkpoints.logSuperstepRows(spark, cs, c, "cc",
+            round, Double.NaN, sig._1, wall)
+          case None => Checkpoints.logSuperstep(e, c, "cc", round,
+            Double.NaN, sig._1, wall)
+        }
       }
     }
 
@@ -147,17 +152,22 @@ object ConnectedComponents {
     * to a direct aggregate over the (now cached) state if the observed
     * metrics don't surface. */
   private def rotateObserved(rotator: StateRotator, next: DataFrame,
-      round: Int): (DataFrame, (Long, Long)) = {
+      round: Int, withCounts: Boolean = false)
+      : (DataFrame, (Long, Long), Option[Seq[(Int, Long)]]) = {
     val obs = Observation(s"cc_sig_$round")
-    val observed = next.observe(obs,
-      count(lit(1)).as("c"),
-      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+    // checkpointed runs ride the superstep log's per-partition counts on
+    // the same observe (r6) — no separate count job in logSuperstep
+    val metrics = Seq(count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")) ++
+      (if (withCounts) Seq(Checkpoints.partitionCountsMetric.as("pcounts")) else Nil)
+    val observed = next.observe(obs, metrics.head, metrics.tail: _*)
     val rotated = rotator.rotate(observed, round)
-    graft.runtime.IterationHygiene.awaitObservedRow(obs)
-      .map(r => (rotated, (r.getAs[Long]("c"), r.getAs[Long]("h"))))
+    val row = graft.runtime.IterationHygiene.awaitObservedRow(obs)
+    row.map(r => (rotated, (r.getAs[Long]("c"), r.getAs[Long]("h")),
+        Checkpoints.countsFromObserved(row)))
       .getOrElse {
         graft.runtime.Trace.log(s"cc obs round=$round fell back to direct signature")
-        (rotated, edgeSetSignature(rotated))
+        (rotated, edgeSetSignature(rotated), None)
       }
   }
 

@@ -128,12 +128,24 @@ object LabelPropagation {
       // coalesce for subgraph-restricted universes)
       val next = labels.join(argmax.hint("SHUFFLE_HASH"), labels("id") === argmax("vid"), "left")
         .select(labels("id"), coalesce(col("new_label"), col("label")).as("label"))
-      labels = rotator.rotate(next.coalesce(P), step)
+      // checkpointed runs ride the superstep log's per-partition counts on
+      // a root-level observe of the rotation (r6): zero extra jobs
+      val obsLog = cfg.checkpoint.map(_ =>
+        org.apache.spark.sql.Observation(s"lpa_log_$step"))
+      val base = next.coalesce(P)
+      labels = rotator.rotate(obsLog.fold(base)(o =>
+        base.observe(o, Checkpoints.partitionCountsMetric.as("pcounts"))), step)
       graft.runtime.Trace.log(
         f"lpa step=$step sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(labels, c, "lpa", step, Double.NaN, 0L,
-          (System.nanoTime() - t0) / 1000000)
+        val wall = (System.nanoTime() - t0) / 1000000
+        Checkpoints.countsFromObserved(
+            obsLog.flatMap(graft.runtime.IterationHygiene.awaitObservedRow)) match {
+          case Some(cs) => Checkpoints.logSuperstepRows(spark, cs, c, "lpa",
+            step, Double.NaN, 0L, wall)
+          case None => Checkpoints.logSuperstep(labels, c, "lpa", step,
+            Double.NaN, 0L, wall)
+        }
       }
     }
     cfg.checkpoint.foreach(c => Checkpoints.flushLog(spark, c, "lpa"))

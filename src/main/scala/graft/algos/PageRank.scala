@@ -176,13 +176,26 @@ object PageRank {
         .select(verts("id"),
           (resetTerm + lit(1.0 - cfg.resetProb) *
             (coalesce(col("msg"), lit(0.0)) + lit(sinkShare))).as("rank"))
-      ranks = rotator.rotate(next.coalesce(pState), i)
+      // checkpointed runs ride the superstep log's per-partition counts on
+      // a root-level observe of the rotation (r6): zero extra jobs; plain
+      // runs rotate unobserved (identical rows either way)
+      val obsLog = cfg.checkpoint.map(_ =>
+        org.apache.spark.sql.Observation(s"${algo}_log_$i"))
+      val base = next.coalesce(pState)
+      ranks = rotator.rotate(obsLog.fold(base)(o =>
+        base.observe(o, Checkpoints.partitionCountsMetric.as("pcounts"))), i)
       if (cfg.danglingRedistribute) msgs.unpersist(false)
       graft.runtime.Trace.record(f"pagerank_step_$i%02d",
         (System.nanoTime() - t0) / 1e9)
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(ranks, c, algo, i, Double.NaN, numVertices,
-          (System.nanoTime() - t0) / 1000000)
+        val wall = (System.nanoTime() - t0) / 1000000
+        Checkpoints.countsFromObserved(
+            obsLog.flatMap(graft.runtime.IterationHygiene.awaitObservedRow)) match {
+          case Some(cs) => Checkpoints.logSuperstepRows(g.spark, cs, c, algo,
+            i, Double.NaN, numVertices, wall)
+          case None => Checkpoints.logSuperstep(ranks, c, algo, i,
+            Double.NaN, numVertices, wall)
+        }
       }
     }
     cfg.checkpoint.foreach(c => Checkpoints.flushLog(g.spark, c, algo))
@@ -241,17 +254,26 @@ object PageRank {
       // halt count fused into the rotation's own materialization via a
       // ROOT-LEVEL observe (the proven CC/Pregel.iterate pattern — VERDICT
       // r4 what's-wrong #3): the per-superstep active-count job disappears;
-      // fallback = an in-memory scan of the already-materialized state
+      // fallback = an in-memory scan of the already-materialized state.
+      // When checkpointing, the superstep log's per-partition counts ride
+      // the SAME observe (r6) — the separate count job disappears too.
       val obs = org.apache.spark.sql.Observation(s"${algo}_active_$i")
+      val metrics = count(when(sending, 1)).as("active") +:
+        cfg.checkpoint.map(_ => Checkpoints.partitionCountsMetric.as("pcounts")).toSeq
       state = rotator.rotate(next.coalesce(g.numPartitions)
-        .observe(obs, count(when(sending, 1)).as("active")), i)
-      active = graft.runtime.IterationHygiene
-        .awaitObservedLong(obs, state.filter(sending).count())
+        .observe(obs, metrics.head, metrics.tail: _*), i)
+      val obsRow = graft.runtime.IterationHygiene.awaitObservedRow(obs)
+      active = obsRow.map(_.getLong(0)).getOrElse(state.filter(sending).count())
       graft.runtime.Trace.record(f"pagerank_tol_step_$i%02d",
         (System.nanoTime() - t0) / 1e9)
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(state, c, algo, i, Double.NaN, active,
-          (System.nanoTime() - t0) / 1000000)
+        val wall = (System.nanoTime() - t0) / 1000000
+        Checkpoints.countsFromObserved(obsRow) match {
+          case Some(cs) => Checkpoints.logSuperstepRows(g.spark, cs, c, algo,
+            i, Double.NaN, active, wall)
+          case None => Checkpoints.logSuperstep(state, c, algo, i,
+            Double.NaN, active, wall)
+        }
       }
     }
     cfg.checkpoint.foreach(c => Checkpoints.flushLog(g.spark, c, algo))

@@ -324,23 +324,39 @@ object Pregel {
       val next = vprog(state, msgs).coalesce(p)
       // halt count folded into the rotation's own materialization — a
       // root-level observe (VERDICT r3 next #4): zero extra jobs per
-      // superstep; fallback = in-memory scan of the rotated state
+      // superstep; fallback = in-memory scan of the rotated state. When
+      // checkpointing, the superstep log's per-partition counts ride the
+      // same observe (r6) — no separate count job either.
+      val logMetric = cfg.checkpoint.map(_ =>
+        Checkpoints.partitionCountsMetric.as("pcounts")).toSeq
+      var obsRow: Option[org.apache.spark.sql.Row] = scala.None
       active = halt match {
         case Some(h) =>
           val obs = Observation(s"${cfg.algo}_active_$step")
+          val metrics = count(when(h, 1)).as("active") +: logMetric
           state = rotator.rotate(
-            next.observe(obs, count(when(h, 1)).as("active")), step)
-          IterationHygiene.awaitObservedLong(obs, state.filter(h).count())
+            next.observe(obs, metrics.head, metrics.tail: _*), step)
+          obsRow = IterationHygiene.awaitObservedRow(obs)
+          obsRow.map(_.getLong(0)).getOrElse(state.filter(h).count())
         case scala.None =>
-          state = rotator.rotate(next, step)
+          if (logMetric.nonEmpty) {
+            val obs = Observation(s"${cfg.algo}_log_$step")
+            state = rotator.rotate(next.observe(obs, logMetric.head), step)
+            obsRow = IterationHygiene.awaitObservedRow(obs)
+          } else state = rotator.rotate(next, step)
           1L
       }
       graft.runtime.Trace.record(f"${cfg.algo}_step_$step%02d",
         (System.nanoTime() - t0) / 1e9)
       graft.runtime.Trace.log(f"${cfg.algo} superstep=$step active=$active")
       cfg.checkpoint.foreach { c =>
-        Checkpoints.logSuperstep(state, c, cfg.algo, step, Double.NaN, active,
-          (System.nanoTime() - t0) / 1000000)
+        val wall = (System.nanoTime() - t0) / 1000000
+        Checkpoints.countsFromObserved(obsRow) match {
+          case Some(cs) => Checkpoints.logSuperstepRows(spark, cs, c,
+            cfg.algo, step, Double.NaN, active, wall)
+          case scala.None => Checkpoints.logSuperstep(state, c, cfg.algo,
+            step, Double.NaN, active, wall)
+        }
       }
     }
     cfg.checkpoint.foreach(c => Checkpoints.flushLog(spark, c, cfg.algo))

@@ -172,12 +172,26 @@ object Checkpoints {
       superstep: Int, l1Delta: Double, activeCount: Long, wallMs: Long): Unit = {
     val counts = state.select(spark_partition_id().as("p"))
       .groupBy("p").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    logSuperstepRows(state.sparkSession, counts, cfg, algo, superstep,
+      l1Delta, activeCount, wallMs)
+  }
+
+  /** [[logSuperstep]] with the per-partition counts already in hand —
+    * the observe-fused path (r6): iterative loops ride
+    * [[partitionCountsMetric]] on the rotation's root-level observe, so
+    * logging costs zero extra jobs (the job-based [[logSuperstep]] stays
+    * as the fallback when an observation doesn't surface). Rows are
+    * byte-identical to the job form's. */
+  def logSuperstepRows(spark: SparkSession, counts: Seq[(Int, Long)],
+      cfg: CheckpointConfig, algo: String, superstep: Int, l1Delta: Double,
+      activeCount: Long, wallMs: Long): Unit = {
     val buf = logBuffers.getOrElseUpdate((cfg.dir, cfg.runId, algo),
       new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])
     buf.synchronized {
-      counts.foreach { r =>
-        buf += org.apache.spark.sql.Row(cfg.runId, superstep, r.getInt(0),
-          r.getLong(1), l1Delta, activeCount, wallMs)
+      counts.foreach { case (p, n) =>
+        buf += org.apache.spark.sql.Row(cfg.runId, superstep, p, n,
+          l1Delta, activeCount, wallMs)
       }
     }
     // flush on the snapshot cadence, plus a size backstop so a sparse
@@ -185,8 +199,23 @@ object Checkpoints {
     // buffer unboundedly (100k rows ≈ a few MB)
     if ((cfg.every > 0 && superstep % cfg.every == 0) ||
         buf.synchronized(buf.size) > 100000)
-      flushLog(state.sparkSession, cfg, algo)
+      flushLog(spark, cfg, algo)
   }
+
+  /** The map(partition_id → rows) aggregate column loops append to their
+    * rotation observe when checkpointing is on (alias it "pcounts"). */
+  def partitionCountsMetric: org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.partitionRowCounts()
+
+  /** Extract the observed "pcounts" map from an awaited observe row.
+    * None (→ job fallback) when the row is absent or the field missing. */
+  def countsFromObserved(row: Option[org.apache.spark.sql.Row],
+      field: String = "pcounts"): Option[Seq[(Int, Long)]] =
+    row.flatMap { r =>
+      val i = try r.fieldIndex(field) catch { case _: IllegalArgumentException => -1 }
+      if (i < 0 || r.isNullAt(i)) None
+      else Some(r.getAs[scala.collection.Map[Int, Long]](i).toSeq.sortBy(_._1))
+    }
 
   private val logBuffers = scala.collection.concurrent.TrieMap
     .empty[(String, String, String),

@@ -206,6 +206,28 @@ class ResumeSpec extends SparkTestBase {
     assert(resumed == full, "resumed combinator run diverged from uninterrupted")
   }
 
+  test("observe-fused partition counts equal the job-based counts " +
+      "(r6 superstep-log fusion)") {
+    // the fused path's contract: the map observed DURING a rotation-style
+    // materialization must equal what a later spark_partition_id groupBy
+    // over the SAME materialized frame reports — i.e. task partition ids
+    // at observe time are the localCheckpoint scan's partition ids
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(8)
+    val obs = org.apache.spark.sql.Observation("pcounts_parity")
+    val mat = df.observe(obs, Checkpoints.partitionCountsMetric.as("pcounts"))
+      .localCheckpoint(true)
+    val fused = Checkpoints.countsFromObserved(
+      graft.runtime.IterationHygiene.awaitObservedRow(obs))
+    assert(fused.isDefined, "observation did not surface")
+    val job = mat.select(spark_partition_id().as("p"))
+      .groupBy("p").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fused.get.toMap == job)
+    assert(fused.get.map(_._2).sum == 1000L)
+    graft.runtime.IterationHygiene.releaseLocal(mat)
+  }
+
   test("superstep log has per-partition rows and wall times") {
     val edges = edgesDF(randomEdges(8, n = 50, m = 150))
     val dir = java.nio.file.Files.createTempDirectory("sslog").toString
